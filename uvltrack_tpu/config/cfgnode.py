@@ -1,0 +1,69 @@
+"""Lightweight attribute-dict config tree with strict YAML merge.
+
+Matches the semantics of the reference config system
+(lib/config/uvltrack/config.py:169-187): overriding a key that does not exist
+in the defaults raises, scalars replace, nested dicts merge recursively.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import yaml
+
+
+class CfgNode(dict):
+    """dict subclass with attribute access. Values that are dicts are wrapped."""
+
+    def __init__(self, init: Dict[str, Any] | None = None):
+        super().__init__()
+        if init:
+            for k, v in init.items():
+                self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = CfgNode(value) if isinstance(value, dict) and not isinstance(value, CfgNode) else value
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        if isinstance(value, dict) and not isinstance(value, CfgNode):
+            value = CfgNode(value)
+        super().__setitem__(key, value)
+
+    def clone(self) -> "CfgNode":
+        out = CfgNode()
+        for k, v in self.items():
+            out[k] = v.clone() if isinstance(v, CfgNode) else v
+        return out
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {k: (v.to_dict() if isinstance(v, CfgNode) else v) for k, v in self.items()}
+
+    def merge_from_dict(self, other: Dict[str, Any], _path: str = "") -> None:
+        """Strict recursive merge: unknown keys raise ValueError."""
+        for k, v in other.items():
+            here = f"{_path}.{k}" if _path else k
+            if k not in self:
+                raise ValueError(f"{here} not exist in default config")
+            if isinstance(v, dict):
+                if not isinstance(self[k], CfgNode):
+                    # defaults hold a scalar/None but override provides a dict
+                    raise ValueError(f"{here}: cannot merge dict into non-dict")
+                self[k].merge_from_dict(v, here)
+            else:
+                super(CfgNode, self).__setitem__(k, v)
+
+    def merge_from_file(self, filename: str) -> None:
+        with open(filename) as f:
+            data = yaml.safe_load(f)
+        if data:
+            self.merge_from_dict(data)
+
+    def dump_yaml(self, filename: str) -> None:
+        with open(filename, "w") as f:
+            yaml.dump(self.to_dict(), f, default_flow_style=False)
