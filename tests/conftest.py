@@ -6,7 +6,16 @@ virtual devices so sharding/pjit paths are exercised without hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set: the sandbox pre-sets JAX_PLATFORMS=axon (remote TPU tunnel), which
+# would make eager unit tests dispatch every op over the network.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# This build's CPU backend defaults to bf16-grade matmul passes (~7e-2 error
+# on unit-normal 64x64 matmuls); unit tests check math, so force fp32.
+# (The env var is not picked up by this jax build, so set the config flag.)
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

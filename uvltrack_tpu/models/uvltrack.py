@@ -1,0 +1,100 @@
+"""UVLTrack model: MUFE backbone + MABH head, with the four entry points the
+runtime needs (train forward / prompt init / prompt re-mining / test forward).
+
+Capability parity with lib/models/uvltrack/uvltrack.py:8-57. Pure flax module;
+call the entry points via `model.apply(variables, ..., method=...)`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import registry
+from .bert import bert_config_from_type
+from .head import MABH
+from .mufe import MUFE
+from .vit import VIT_VARIANTS, vit_variant_from_path
+
+
+class UVLTrack(nn.Module):
+    backbone: MUFE
+    head: MABH
+
+    def __call__(self, template, search, text_ids, text_mask, template_mask,
+                 context_mask, flag, train: bool = False):
+        out = self.backbone(template, search, text_ids, text_mask, flag)
+        out["template_mask"] = template_mask
+        out["context_mask"] = context_mask
+        return self.head(out, prompt=None, train=train)
+
+    def forward_prompt_init(self, template, search, text_ids, text_mask,
+                            template_mask, context_mask, flag):
+        out = self.backbone(template, search, text_ids, text_mask, flag)
+        out["template_mask"] = template_mask
+        out["context_mask"] = context_mask
+        return self.head.forward_prompt(out)
+
+    def forward_prompt(self, out_dict, template_mask, context_mask):
+        out = dict(out_dict)
+        out["template_mask"] = template_mask
+        out["context_mask"] = context_mask
+        return self.head.forward_prompt(out)
+
+    def forward_test(self, template, search, text_ids, text_mask, prompt, flag):
+        out = self.backbone(template, search, text_ids, text_mask, flag)
+        return self.head(out, prompt=prompt, train=False)
+
+
+def parse_dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+@registry.MODELS.register("uvltrack")
+def build_model(cfg, dtype=None) -> UVLTrack:
+    variant = VIT_VARIANTS[vit_variant_from_path(cfg.MODEL.BACKBONE.PRETRAINED_PATH)]
+    dtype = dtype if dtype is not None else parse_dtype(cfg.TPU.COMPUTE_DTYPE)
+    backbone = MUFE(
+        embed_dim=variant["embed_dim"],
+        depth=variant["depth"],
+        num_heads=variant["num_heads"],
+        template_size=cfg.DATA.TEMPLATE.SIZE,
+        search_size=cfg.DATA.SEARCH.SIZE,
+        fusion_layers=tuple(cfg.MODEL.BACKBONE.FUSION_LAYER),
+        cont_loss_layers=tuple(cfg.MODEL.BACKBONE.CONT_LOSS_LAYER),
+        txt_token_mode=cfg.MODEL.BACKBONE.TXT_TOKEN_MODE,
+        learnable_pos=cfg.MODEL.LEARNABLE_POSITION,
+        bert=bert_config_from_type(cfg.MODEL.BACKBONE.LANGUAGE.TYPE),
+        dtype=dtype,
+        remat=cfg.TPU.REMAT,
+    )
+    head = MABH(
+        inplanes=cfg.MODEL.HIDDEN_DIM,
+        channel=cfg.MODEL.HEAD.HEAD_DIM,
+        feat_sz=cfg.DATA.SEARCH.SIZE // 16,
+        stride=16,
+        cls_tokenize=cfg.MODEL.HEAD.CLS_TOKENIZE,
+        offset_sigmoid=cfg.MODEL.HEAD.OFFSET_SIGMOID,
+        joint_cls=cfg.MODEL.HEAD.JOINT_CLS,
+        softmax_one=cfg.MODEL.HEAD.SOFTMAX_ONE,
+        dtype=dtype,
+    )
+    return UVLTrack(backbone=backbone, head=head)
+
+
+def init_model(model: UVLTrack, cfg, rng) -> dict:
+    """Initialize variables with dummy inputs at the configured sizes."""
+    tz, sx = cfg.DATA.TEMPLATE.SIZE, cfg.DATA.SEARCH.SIZE
+    nt = cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN
+    b = 2
+    template = jnp.zeros((b, tz, tz, 3), jnp.float32)
+    search = jnp.zeros((b, sx, sx, 3), jnp.float32)
+    text_ids = jnp.zeros((b, nt), jnp.int32)
+    text_mask = jnp.ones((b, nt), jnp.int32)
+    template_mask = jnp.zeros((b, (tz // 16) ** 2), bool)
+    context_mask = jnp.zeros((b, (sx // 16) ** 2), bool)
+    flag = jnp.zeros((b,), jnp.int32)
+    return model.init(rng, template, search, text_ids, text_mask,
+                      template_mask, context_mask, flag, train=False)

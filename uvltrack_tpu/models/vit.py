@@ -1,0 +1,122 @@
+"""MAE-style ViT pieces for the modality-unified extractor.
+
+Capability parity with the reference ViT (lib/models/backbones/mae_vit.py):
+rectangular input as two patch streams (template z, search x) through one
+shared patch embed, separate fixed 2D sin-cos positional embeddings, a CLS
+token, a 2-entry modal embedding used in joint (fusion) layers, and pre-LN
+transformer blocks with additive key masking (-1e10). The layer loop itself
+lives in mufe.py; this file provides the per-layer building blocks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import attention_core, key_padding_bias
+
+
+def sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    """(M,) positions -> (M, embed_dim) [sin | cos] embedding."""
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=np.float64) / (embed_dim / 2.0)
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("m,d->md", pos.reshape(-1), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def sincos_2d(embed_dim: int, grid_size: int) -> np.ndarray:
+    """(grid*grid, embed_dim); first half encodes column idx, second half row.
+
+    Matches the reference generator (mae_vit.py:52-78): w-coordinate goes
+    into the first D/2 channels, token order is row-major.
+    """
+    assert embed_dim % 2 == 0
+    rows = np.repeat(np.arange(grid_size, dtype=np.float64), grid_size)  # h idx
+    cols = np.tile(np.arange(grid_size, dtype=np.float64), grid_size)  # w idx
+    emb_w = sincos_1d(embed_dim // 2, cols)
+    emb_h = sincos_1d(embed_dim // 2, rows)
+    return np.concatenate([emb_w, emb_h], axis=1)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.xavier_uniform(), name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.xavier_uniform(), name="fc2")(x)
+        return x
+
+
+class VitBlock(nn.Module):
+    """Pre-LN transformer block with additive key-padding masking."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, key_masked: Optional[jnp.ndarray] = None):
+        b, n, c = x.shape
+        h, d = self.num_heads, self.dim // self.num_heads
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       kernel_init=nn.initializers.xavier_uniform(), name="qkv")(y)
+        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        bias = key_padding_bias(key_masked) if key_masked is not None else None
+        attn = attention_core(q, k, v, bias)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, n, c)
+        attn = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=nn.initializers.xavier_uniform(), name="proj")(attn)
+        x = x + attn
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """16x16 conv patch embedding shared by template and search streams."""
+
+    embed_dim: int
+    patch_size: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        # img: (B, H, W, 3) NHWC -> (B, H/p * W/p, C) row-major tokens
+        p = self.patch_size
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=nn.initializers.xavier_uniform(), name="proj")(img)
+        b, gh, gw, c = x.shape
+        return x.reshape(b, gh * gw, c)
+
+
+VIT_VARIANTS = {
+    # embed_dim, depth, num_heads  (mae_vit.py:218-242)
+    "base": dict(embed_dim=768, depth=12, num_heads=12),
+    "large": dict(embed_dim=1024, depth=24, num_heads=16),
+    "huge": dict(embed_dim=1280, depth=32, num_heads=16),
+}
+
+
+def vit_variant_from_path(pretrained_path: str) -> str:
+    if "large" in pretrained_path:
+        return "large"
+    if "huge" in pretrained_path:
+        return "huge"
+    return "base"

@@ -1,0 +1,58 @@
+"""Multi-head attention core with pluggable backends (XLA einsum / Pallas).
+
+Semantics match the reference blocks: scores = q·k^T * scale + additive bias
+(bias = -1e10 at masked keys, lib/models/backbones/block.py:47-61; BERT uses
+-10000, lib/models/backbones/bert_backbone.py:728), softmax in fp32, then
+probs·v. Sequence lengths here are small (<=361 for UVLTrack-B), so the XLA
+path is a single fused region; the Pallas path fuses the whole thing into one
+kernel to cut HBM round-trips at inference batch sizes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = "xla"  # overridden via set_backend; "pallas" requires TPU
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown attention backend {name!r}")
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """q,k,v: (B, H, N, D). bias: broadcastable to (B, H, N, N), additive.
+
+    Returns (B, H, N, D) in v.dtype. Softmax is computed in float32.
+    """
+    if _BACKEND == "pallas":
+        from .pallas_attention import pallas_attention
+
+        out = pallas_attention(q, k, v, bias)
+        if out is not None:
+            return out
+    return xla_attention(q, k, v, bias)
+
+
+def xla_attention(q, k, v, bias=None):
+    d = q.shape[-1]
+    scale = d ** -0.5
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+
+
+def key_padding_bias(key_masked: jnp.ndarray, neg: float = -1e10) -> jnp.ndarray:
+    """(B, N) bool, True = masked key -> (B, 1, 1, N) additive fp32 bias."""
+    return jnp.where(key_masked, neg, 0.0).astype(jnp.float32)[:, None, None, :]
