@@ -1,0 +1,91 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvltrack_tpu.config import default_cfg
+from uvltrack_tpu.track.tracker import Tracker
+from test_model import tiny_model, tiny_inputs, NT
+
+
+def tiny_cfg():
+    c = default_cfg()
+    c.DATA.TEMPLATE.SIZE = 32
+    c.DATA.SEARCH.SIZE = 64
+    c.TEST.TEMPLATE_SIZE = 32
+    c.TEST.SEARCH_SIZE = 64
+    c.TEST.TEMPLATE_FACTOR = 2.0
+    c.TEST.SEARCH_FACTOR = 4.0
+    c.TEST.MODE = "BBOX"
+    c.TEST.UPDATE_INTERVAL = 2
+    c.TEST.THRESHOLD = -1.0  # force the prompt-refresh path
+    c.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN = NT
+    return c
+
+
+@pytest.fixture(scope="module")
+def tracker():
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(jax.random.PRNGKey(0))
+    return Tracker(tiny_cfg(), model, variables, tokenizer=None)
+
+
+def test_bbox_mode_tracks(tracker):
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+    tracker.initialize(frame, {"init_bbox": [30.0, 20.0, 20.0, 24.0]})
+    assert int(tracker.flag[0]) == 0
+    boxes = []
+    for i in range(5):
+        frame = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+        out = tracker.track(frame)
+        box = out["target_bbox"]
+        assert len(box) == 4
+        x, y, w, h = box
+        assert 0 <= x <= 100 and 0 <= y <= 80
+        assert w >= 10 and h >= 10  # margin clip
+        assert np.isfinite(out["score"])
+        boxes.append(box)
+    assert int(tracker.state.frame_id) == 5
+    # the update path ran at frames 2 and 4 (interval=2, threshold=-1):
+    # max_score was reset at frame 4, then frame 5 set it again
+    assert float(tracker.state.max_score) >= 0
+
+
+def test_prompt_refresh_changes_prompt(tracker):
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+    tracker.initialize(frame, {"init_bbox": [30.0, 20.0, 20.0, 24.0]})
+    p0 = np.asarray(tracker.state.prompt, np.float32).copy()
+    tracker.track(rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8))
+    p1 = np.asarray(tracker.state.prompt, np.float32).copy()
+    # frame 1: no refresh yet (1 % 2 != 0)
+    assert np.allclose(p0, p1)
+    tracker.track(rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8))
+    p2 = np.asarray(tracker.state.prompt, np.float32).copy()
+    # frame 2: refresh fired (threshold=-1 guarantees max_score > threshold)
+    assert not np.allclose(p1, p2)
+    assert float(tracker.state.max_score) == 0.0
+
+
+def test_nlbbox_mode_uses_flag2(tracker):
+    tracker.cfg.TEST.MODE = "NLBBOX"
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+    tracker.initialize(frame, {"init_bbox": [10, 10, 30, 30], "language": "a red box"})
+    assert int(tracker.flag[0]) == 2
+    out = tracker.track(rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8))
+    assert len(out["target_bbox"]) == 4
+    tracker.cfg.TEST.MODE = "BBOX"
+
+
+def test_nl_mode_grounding_init(tracker):
+    tracker.cfg.TEST.MODE = "NL"
+    rng = np.random.default_rng(2)
+    frame = rng.integers(0, 255, size=(64, 96, 3)).astype(np.uint8)
+    out = tracker.initialize(frame, {"language": "the thing"})
+    box = out["target_bbox"]
+    assert len(box) == 4 and all(np.isfinite(box))
+    assert int(tracker.flag[0]) == 2  # after grounding, tracking runs NLBBOX-style
+    tracker.cfg.TEST.MODE = "BBOX"

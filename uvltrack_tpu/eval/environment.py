@@ -1,0 +1,80 @@
+"""Evaluation environment paths.
+
+Replaces the reference's generated local.py modules
+(lib/test/evaluation/environment.py:108-119) with a plain YAML file
+(<repo>/local_paths.yaml) plus environment-variable overrides
+(UVLTRACK_<NAME>_PATH). Missing paths only error when actually used.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields
+
+import yaml
+
+_PATH_KEYS = [
+    "results_path", "result_plot_path", "checkpoints_path", "network_path",
+    "otb99_path", "tnl2k_path", "lasot_path", "lasotext_path", "got10k_path",
+    "trackingnet_path", "nfs_path", "uav_path", "itb_path", "avist_path",
+    "tc128_path", "otb_path", "pretrained_path",
+]
+
+
+@dataclass
+class EnvSettings:
+    repo_dir: str = ""
+    results_path: str = ""
+    result_plot_path: str = ""
+    checkpoints_path: str = ""
+    network_path: str = ""
+    otb99_path: str = ""
+    tnl2k_path: str = ""
+    lasot_path: str = ""
+    lasotext_path: str = ""
+    got10k_path: str = ""
+    trackingnet_path: str = ""
+    nfs_path: str = ""
+    uav_path: str = ""
+    itb_path: str = ""
+    avist_path: str = ""
+    tc128_path: str = ""
+    otb_path: str = ""
+    pretrained_path: str = ""
+
+
+_CACHED: EnvSettings | None = None
+
+
+def env_settings(repo_dir: str | None = None) -> EnvSettings:
+    global _CACHED
+    if _CACHED is not None and repo_dir is None:
+        return _CACHED
+    repo = repo_dir or os.environ.get(
+        "UVLTRACK_REPO", os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    s = EnvSettings(repo_dir=repo)
+    s.results_path = os.path.join(repo, "output", "test", "tracking_results")
+    s.result_plot_path = os.path.join(repo, "output", "test", "result_plots")
+    s.checkpoints_path = os.path.join(repo, "checkpoints")
+    s.network_path = os.path.join(repo, "output", "networks")
+    s.pretrained_path = os.path.join(repo, "pretrain")
+
+    yaml_path = os.path.join(repo, "local_paths.yaml")
+    if os.path.exists(yaml_path):
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        for k, v in data.items():
+            if hasattr(s, k):
+                setattr(s, k, v)
+    for f_ in fields(s):
+        env_key = f"UVLTRACK_{f_.name.upper()}"
+        if env_key in os.environ:
+            setattr(s, f_.name, os.environ[env_key])
+    if repo_dir is None:
+        _CACHED = s
+    return s
+
+
+def reset_env_cache():
+    global _CACHED
+    _CACHED = None

@@ -1,0 +1,142 @@
+"""Tracking metrics: IoU/center-error curves, AUC / Precision / NormPrecision.
+
+Numpy re-derivation of the reference analysis math
+(lib/test/analysis/extract_results.py:16-99, plot_results.py:199-213),
+including its robustness rules: zero-size predictions carried forward, first
+frame forced to ground truth, per-dataset NaN handling, Precision = value of
+the center-error curve at the 20px threshold, NormPrecision at 0.20.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+THRESH_OVERLAP = np.arange(0.0, 1.05, 0.05)  # 21 bins
+THRESH_CENTER = np.arange(0, 51, dtype=np.float64)  # 51 bins
+THRESH_CENTER_NORM = np.arange(0, 51, dtype=np.float64) / 100.0
+
+
+def calc_err_center(pred_bb: np.ndarray, anno_bb: np.ndarray, normalized=False) -> np.ndarray:
+    pred_center = pred_bb[:, :2] + 0.5 * (pred_bb[:, 2:] - 1.0)
+    anno_center = anno_bb[:, :2] + 0.5 * (anno_bb[:, 2:] - 1.0)
+    if normalized:
+        pred_center = pred_center / anno_bb[:, 2:]
+        anno_center = anno_center / anno_bb[:, 2:]
+    return np.sqrt(((pred_center - anno_center) ** 2).sum(1))
+
+
+def calc_iou_overlap(pred_bb: np.ndarray, anno_bb: np.ndarray) -> np.ndarray:
+    tl = np.maximum(pred_bb[:, :2], anno_bb[:, :2])
+    br = np.minimum(pred_bb[:, :2] + pred_bb[:, 2:] - 1.0,
+                    anno_bb[:, :2] + anno_bb[:, 2:] - 1.0)
+    sz = np.clip(br - tl + 1.0, 0, None)
+    intersection = sz.prod(axis=1)
+    union = pred_bb[:, 2:].prod(axis=1) + anno_bb[:, 2:].prod(axis=1) - intersection
+    return intersection / union
+
+
+def calc_seq_err_robust(pred_bb: np.ndarray, anno_bb: np.ndarray, dataset: str,
+                        target_visible: Optional[np.ndarray] = None):
+    pred_bb = np.array(pred_bb, np.float64, copy=True)
+    anno_bb = np.asarray(anno_bb, np.float64)
+
+    if np.isnan(pred_bb).any() or (pred_bb[:, 2:] < 0.0).any():
+        raise ValueError("Invalid tracker results (NaN or negative size)")
+    if np.isnan(anno_bb).any() and dataset not in ("uav", "itb"):
+        raise ValueError("NaNs in annotation")
+
+    # carry forward zero-size (failure) predictions
+    if (pred_bb[:, 2:] == 0.0).any():
+        for i in range(1, pred_bb.shape[0]):
+            if (pred_bb[i, 2:] == 0.0).any() and not np.isnan(anno_bb[i]).any():
+                pred_bb[i] = pred_bb[i - 1]
+
+    if pred_bb.shape[0] != anno_bb.shape[0]:
+        if pred_bb.shape[0] > anno_bb.shape[0]:
+            pred_bb = pred_bb[: anno_bb.shape[0]]
+        elif dataset == "lasot":
+            raise ValueError("Mis-match in tracker prediction and GT lengths")
+        else:
+            pad = np.zeros((anno_bb.shape[0] - pred_bb.shape[0], 4))
+            pred_bb = np.concatenate([pred_bb, pad], 0)
+
+    pred_bb[0] = anno_bb[0]
+
+    if target_visible is not None:
+        tv = np.asarray(target_visible, bool)
+        valid = ((anno_bb[:, 2:] > 0.0).sum(1) == 2) & tv
+    else:
+        valid = (anno_bb[:, 2:] > 0.0).sum(1) == 2
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        err_center = calc_err_center(pred_bb, anno_bb)
+        err_center_norm = calc_err_center(pred_bb, anno_bb, normalized=True)
+        err_overlap = calc_iou_overlap(pred_bb, anno_bb)
+
+    err_center[~valid] = -1.0 if dataset == "uav" else np.inf
+    err_center_norm[~valid] = -1.0
+    err_overlap[~valid] = -1.0
+    if dataset == "lasot" and target_visible is not None:
+        err_center_norm[~np.asarray(target_visible, bool)] = np.inf
+        err_center[~np.asarray(target_visible, bool)] = np.inf
+
+    if np.isnan(err_overlap).any():
+        raise ValueError("NaNs in calculated overlap")
+    return err_overlap, err_center, err_center_norm, valid
+
+
+def sequence_curves(pred_bb, anno_bb, dataset, target_visible=None,
+                    exclude_invalid_frames=False):
+    """Per-sequence success/precision curves (fractions in [0,1])."""
+    err_overlap, err_center, err_center_norm, valid = calc_seq_err_robust(
+        pred_bb, anno_bb, dataset, target_visible)
+    seq_length = int(valid.sum()) if exclude_invalid_frames else anno_bb.shape[0]
+    if seq_length <= 0:
+        raise ValueError("Sequence length zero")
+    succ = (err_overlap[:, None] > THRESH_OVERLAP[None]).sum(0) / seq_length
+    prec = (err_center[:, None] <= THRESH_CENTER[None]).sum(0) / seq_length
+    prec_norm = (err_center_norm[:, None] <= THRESH_CENTER_NORM[None]).sum(0) / seq_length
+    avg_overlap = err_overlap[valid].mean() if valid.any() else 0.0
+    return dict(success=succ, precision=prec, norm_precision=prec_norm,
+                avg_overlap=avg_overlap)
+
+
+def aggregate_scores(curves: List[Dict[str, np.ndarray]]) -> Dict[str, float]:
+    """Dataset-level AUC / OP50 / OP75 / Precision / NormPrecision (x100)."""
+    succ = np.stack([c["success"] for c in curves]).mean(0) * 100.0
+    prec = np.stack([c["precision"] for c in curves]).mean(0) * 100.0
+    pnorm = np.stack([c["norm_precision"] for c in curves]).mean(0) * 100.0
+    return {
+        "AUC": float(succ.mean()),
+        "OP50": float(succ[THRESH_OVERLAP == 0.50][0]),
+        "OP75": float(succ[THRESH_OVERLAP == 0.75][0]),
+        "Precision": float(prec[20]),
+        "NormPrec": float(pnorm[20]),
+    }
+
+
+def evaluate_results_dir(results_dir: str, dataset, report: bool = True):
+    """Score saved <seq>.txt results against a SequenceList's ground truth."""
+    curves = []
+    missing = []
+    for seq in dataset:
+        path = os.path.join(results_dir, f"{seq.name}.txt")
+        if not os.path.isfile(path):
+            missing.append(seq.name)
+            continue
+        pred = np.loadtxt(path, delimiter="\t" if "\t" in open(path).readline() else ",")
+        curves.append(sequence_curves(pred.reshape(-1, 4), seq.ground_truth_rect,
+                                      seq.dataset, seq.target_visible))
+    if not curves:
+        raise FileNotFoundError(f"no results found in {results_dir}")
+    scores = aggregate_scores(curves)
+    scores["n_sequences"] = len(curves)
+    scores["n_missing"] = len(missing)
+    if report:
+        print(f"{results_dir}: " + "  ".join(
+            f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in scores.items()))
+    return scores

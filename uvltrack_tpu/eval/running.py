@@ -1,0 +1,92 @@
+"""Benchmark runner: drive a tracker over a SequenceList and save results.
+
+Parity with lib/test/evaluation/running.py: results saved as
+<results_dir>/<seq>.txt with integer xywh per line (tab-separated) plus
+<seq>_time.txt; sequences whose result file exists are skipped (resumable);
+per-sequence exceptions are caught and reported.
+
+TPU-native difference: instead of a GPU-process pool, sequences run in one
+process feeding a single chip (the jitted step keeps the chip busy; decode is
+device-side). Multi-stream batched tracking lives in track/batch.py.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from .data import Sequence, SequenceList
+
+
+def save_results(results_dir: str, seq_name: str, boxes: np.ndarray,
+                 times: np.ndarray) -> None:
+    os.makedirs(results_dir, exist_ok=True)
+    np.savetxt(os.path.join(results_dir, f"{seq_name}.txt"),
+               np.round(boxes).astype(int), delimiter="\t", fmt="%d")
+    np.savetxt(os.path.join(results_dir, f"{seq_name}_time.txt"), times, fmt="%.8f")
+
+
+def run_sequence(tracker, seq: Sequence, results_dir: str,
+                 image_loader: Optional[Callable] = None, rerun: bool = False):
+    """Run one sequence; returns (n_frames, elapsed_s) or None if skipped."""
+    result_path = os.path.join(results_dir, f"{seq.name}.txt")
+    if os.path.isfile(result_path) and not rerun:
+        return None
+    load = image_loader or default_image_loader
+
+    boxes, times = [], []
+    start = time.time()
+    img0 = load(seq.frames[0])
+    t0 = time.time()
+    out = tracker.initialize(img0, seq.init_info())
+    times.append(time.time() - t0)
+    boxes.append(out.get("target_bbox", list(seq.ground_truth_rect[0])))
+    for path in seq.frames[1:]:
+        img = load(path)
+        t0 = time.time()
+        out = tracker.track(img)
+        times.append(time.time() - t0)
+        boxes.append(out["target_bbox"])
+    elapsed = time.time() - start
+    save_results(results_dir, seq.name, np.asarray(boxes, np.float64),
+                 np.asarray(times))
+    return len(seq.frames), elapsed
+
+
+def run_dataset(tracker_factory: Callable[[], object], dataset: SequenceList,
+                results_dir: str, image_loader: Optional[Callable] = None,
+                rerun: bool = False, verbose: bool = True):
+    """Run a tracker over every sequence (resumable)."""
+    tracker = tracker_factory()
+    total_frames, total_time, done = 0, 0.0, 0
+    for i, seq in enumerate(dataset):
+        try:
+            r = run_sequence(tracker, seq, results_dir, image_loader, rerun)
+        except Exception as e:  # keep going like the reference harness
+            print(f"[{seq.name}] ERROR: {e}")
+            continue
+        if r is None:
+            if verbose:
+                print(f"[{i+1}/{len(dataset)}] {seq.name}: skipped (result exists)")
+            continue
+        n, dt = r
+        total_frames += n
+        total_time += dt
+        done += 1
+        if verbose:
+            print(f"[{i+1}/{len(dataset)}] {seq.name}: {n} frames, {n/dt:.1f} FPS")
+    if verbose and total_time > 0:
+        print(f"Done: {done} sequences, overall {total_frames/total_time:.1f} FPS")
+    return dict(sequences=done, frames=total_frames, seconds=total_time)
+
+
+def default_image_loader(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError(f"could not read image {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)

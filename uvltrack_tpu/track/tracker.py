@@ -1,0 +1,269 @@
+"""Stateful UVLTrack tracker with a fully device-resident per-frame step.
+
+Capability parity with the reference tracker (lib/test/tracker/uvltrack.py):
+BBOX / NL / NLBBOX reference modes, NL-only grounding init, prompt mining and
+interval-based prompt re-mining from the best-scoring frame, Hann-window box
+decode with contrastive weighting, map-back + margin clipping.
+
+TPU-native design: tracker state is a pytree carried through a jitted step;
+the per-frame host<->device traffic is one uint8 frame in, five floats out.
+Crop/resize/normalize run inside the same XLA program as the model forward
+(BASELINE.json north star). One compile per frame resolution.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.box_ops import box_cxcywh_to_xywh, clip_box_xywh
+from ..core.geometry import anno2mask, crop_box_normalized, map_box_back
+from ..core.hann import hanning2d_flat
+from ..models.uvltrack import UVLTrack
+from .pipeline import grounding_letterbox, sample_target_device
+
+
+class TrackerState(NamedTuple):
+    box: jnp.ndarray          # (4,) xywh, image coords
+    prompt: jnp.ndarray       # (1, 3, C)
+    max_score: jnp.ndarray    # ()
+    frame_id: jnp.ndarray     # () int32
+    best_box_net: jnp.ndarray  # (4,) cxcywh normalized, best frame's net box
+    best_search: jnp.ndarray   # (1, s, C) cached backbone features
+    best_template: jnp.ndarray  # (1, z, C)
+    best_vis_token: jnp.ndarray  # (1, 1, C)
+    best_txt_token: jnp.ndarray  # (1, 1, C)
+
+
+class JitTracker:
+    """Builds and caches the jitted device functions for one model+config."""
+
+    def __init__(self, model: UVLTrack, variables: dict, cfg):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.search_size = int(cfg.TEST.SEARCH_SIZE)
+        self.template_size = int(cfg.TEST.TEMPLATE_SIZE)
+        self.search_factor = float(cfg.TEST.SEARCH_FACTOR)
+        self.template_factor = float(cfg.TEST.TEMPLATE_FACTOR)
+        self.grounding_size = self.search_size
+        self.map_size = self.search_size // 16
+        self.update_interval = int(cfg.TEST.UPDATE_INTERVAL)
+        self.threshold = float(cfg.TEST.THRESHOLD)
+        self.has_cont = float(cfg.TRAIN.CONT_WEIGHT) > 0
+        self.window = hanning2d_flat(self.map_size)
+        self._step_cache = {}
+        self._init_cache = {}
+        self._ground_cache = {}
+
+    # ------------------------------------------------------------- grounding
+    def grounding_fn(self, hw):
+        if hw not in self._ground_cache:
+            gs = self.grounding_size
+
+            @jax.jit
+            def fn(frame, text_ids, text_mask):
+                ground = grounding_letterbox(frame.astype(jnp.float32), gs)
+                template = jnp.zeros((1, self.template_size, self.template_size, 3),
+                                     jnp.float32)
+                tmask = jnp.zeros((1, (self.template_size // 16) ** 2), bool)
+                cmask = jnp.zeros((1, (self.search_size // 16) ** 2), bool)
+                flag = jnp.ones((1,), jnp.int32)
+                out = self.model.apply(self.variables, template, ground, text_ids,
+                                       text_mask, tmask, cmask, flag, train=False)
+                return out["pred_boxes"][0, 0]  # (4,) cxcywh normalized
+
+            self._ground_cache[hw] = fn
+        return self._ground_cache[hw]
+
+    # ------------------------------------------------------------------ init
+    def init_fn(self, hw):
+        if hw not in self._init_cache:
+
+            @jax.jit
+            def fn(frame, box, text_ids, text_mask, flag):
+                framef = frame.astype(jnp.float32)
+                template, _ = sample_target_device(
+                    framef, box, self.template_factor, self.template_size)
+                tbox = crop_box_normalized(box, self.template_factor)[None]
+                template_mask = anno2mask(tbox, self.template_size // 16)
+                context, _ = sample_target_device(
+                    framef, box, self.search_factor, self.search_size)
+                cbox = crop_box_normalized(box, self.search_factor)[None]
+                context_mask = anno2mask(cbox, self.search_size // 16)
+                prompt = self.model.apply(
+                    self.variables, template, context, text_ids, text_mask,
+                    template_mask, context_mask, flag,
+                    method=UVLTrack.forward_prompt_init)
+                return template, template_mask, prompt
+
+            self._init_cache[hw] = fn
+        return self._init_cache[hw]
+
+    # ------------------------------------------------------------------ step
+    def step_fn(self, hw):
+        if hw not in self._step_cache:
+            h, w = hw
+            sz = self.search_size
+            fsz = self.map_size
+            window = self.window
+            interval = self.update_interval
+            do_update = self.has_cont and interval > 0
+
+            @jax.jit
+            def fn(state: TrackerState, frame, template, template_mask,
+                   text_ids, text_mask, flag):
+                framef = frame.astype(jnp.float32)
+                search, resize_factor = sample_target_device(
+                    framef, state.box, self.search_factor, sz)
+                out = self.model.apply(self.variables, template, search, text_ids,
+                                       text_mask, state.prompt, flag,
+                                       method=UVLTrack.forward_test)
+                cls = out["cls_score_test"].reshape(-1).astype(jnp.float32)
+                if self.has_cont:
+                    cont = jax.nn.softmax(
+                        out["cont_score"].astype(jnp.float32), axis=-1)[0, :, 0]
+                else:
+                    cont = jnp.ones_like(cls)
+                merged = cls * window * cont
+                k = jnp.argmax(merged)
+                box_net = out["bbox_map"][0, k]  # cxcywh normalized
+                score = (cls * cont)[k]
+
+                pred_crop = box_net * sz / resize_factor
+                new_box = map_box_back(pred_crop, state.box, resize_factor, sz)
+                new_box = clip_box_xywh(new_box, h, w, margin=10)
+
+                frame_id = state.frame_id + 1
+                is_best = score > state.max_score
+                pick = lambda a, b: jnp.where(is_best, a, b)
+                f32 = lambda a: a.astype(jnp.float32)
+                best_box_net = pick(f32(box_net), state.best_box_net)
+                best_search = jnp.where(is_best, f32(out["search"]), state.best_search)
+                best_template = jnp.where(is_best, f32(out["template"]), state.best_template)
+                best_vis = jnp.where(is_best, f32(out["vis_token"]), state.best_vis_token)
+                best_txt = jnp.where(is_best, f32(out["txt_token"]), state.best_txt_token)
+                max_score = pick(score, state.max_score)
+
+                if do_update:
+                    refresh = (jnp.mod(frame_id, interval) == 0) & (max_score > self.threshold)
+
+                    def remine(_):
+                        ctx_box = box_cxcywh_to_xywh(best_box_net[None])
+                        ctx_mask = anno2mask(ctx_box, fsz)
+                        feats = {
+                            "search": best_search,
+                            "template": best_template,
+                            "vis_token": best_vis,
+                            "txt_token": best_txt,
+                            "flag": flag,
+                        }
+                        new_prompt = self.model.apply(
+                            self.variables, feats, template_mask, ctx_mask,
+                            method=UVLTrack.forward_prompt)
+                        return new_prompt, jnp.asarray(0.0, max_score.dtype)
+
+                    prompt, max_score = jax.lax.cond(
+                        refresh, remine,
+                        lambda _: (state.prompt, max_score), operand=None)
+                else:
+                    prompt = state.prompt
+
+                new_state = TrackerState(
+                    box=new_box, prompt=prompt, max_score=max_score,
+                    frame_id=frame_id, best_box_net=best_box_net,
+                    best_search=best_search, best_template=best_template,
+                    best_vis_token=best_vis, best_txt_token=best_txt)
+                return new_state, new_box, score
+
+            self._step_cache[hw] = fn
+        return self._step_cache[hw]
+
+
+class Tracker:
+    """Reference-compatible API: initialize(image, info) / track(image)."""
+
+    def __init__(self, cfg, model: UVLTrack, variables: dict,
+                 tokenizer=None):
+        self.cfg = cfg
+        self.jt = JitTracker(model, variables, cfg)
+        self.tokenizer = tokenizer
+        self.nt = int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN)
+        self.embed_dim = model.backbone.embed_dim
+        self.state = None
+
+    def _tokenize(self, language: Optional[str]):
+        if language is None or self.tokenizer is None:
+            ids = np.zeros((1, self.nt), np.int32)
+            mask = np.zeros((1, self.nt), np.int32)
+        else:
+            i, m = self.tokenizer.encode_query(language, self.nt)
+            ids = np.asarray(i, np.int32)[None]
+            mask = np.asarray(m, np.int32)[None]
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def _grounding(self, image: np.ndarray, language: str):
+        hw = image.shape[:2]
+        fn = self.jt.grounding_fn(hw)
+        pred = np.asarray(fn(jnp.asarray(image), self.text_ids, self.text_mask))
+        scale = max(image.shape[:2])
+        cx, cy, w, h = pred * scale
+        x, y = cx - w / 2, cy - h / 2
+        ih, iw = image.shape[:2]
+        x += min(0.0, (iw - ih) / 2)
+        y += min(0.0, (ih - iw) / 2)
+        return [float(x), float(y), float(w), float(h)]
+
+    def initialize(self, image: np.ndarray, info: dict):
+        mode = self.cfg.TEST.MODE
+        language = info.get("language")
+        if mode == "NL":
+            self.text_ids, self.text_mask = self._tokenize(language)
+            init_bbox = self._grounding(image, language)
+            flag_val = 2
+        elif mode == "NLBBOX":
+            self.text_ids, self.text_mask = self._tokenize(language)
+            init_bbox = list(info["init_bbox"])
+            flag_val = 2
+        else:  # BBOX
+            self.text_ids, self.text_mask = self._tokenize(None)
+            init_bbox = list(info["init_bbox"])
+            flag_val = 0
+        self.flag = jnp.full((1,), flag_val, jnp.int32)
+
+        hw = image.shape[:2]
+        frame = jnp.asarray(image)
+        box = jnp.asarray(np.asarray(init_bbox, np.float32))
+        template, template_mask, prompt = self.jt.init_fn(hw)(
+            frame, box, self.text_ids, self.text_mask, self.flag)
+        self.template = template
+        self.template_mask = template_mask
+
+        s = (self.jt.search_size // 16) ** 2
+        z = (self.jt.template_size // 16) ** 2
+        c = self.embed_dim
+        self.state = TrackerState(
+            box=box,
+            prompt=prompt,
+            max_score=jnp.asarray(0.0, jnp.float32),
+            frame_id=jnp.asarray(0, jnp.int32),
+            best_box_net=jnp.zeros((4,), jnp.float32),
+            best_search=jnp.zeros((1, s, c), jnp.float32),
+            best_template=jnp.zeros((1, z, c), jnp.float32),
+            best_vis_token=jnp.zeros((1, 1, c), jnp.float32),
+            best_txt_token=jnp.zeros((1, 1, c), jnp.float32),
+        )
+        return {"target_bbox": init_bbox}
+
+    def track(self, image: np.ndarray, info: dict = None):
+        hw = image.shape[:2]
+        step = self.jt.step_fn(hw)
+        self.state, box, score = step(
+            self.state, jnp.asarray(image), self.template, self.template_mask,
+            self.text_ids, self.text_mask, self.flag)
+        box_np = np.asarray(box, np.float64)
+        return {"target_bbox": box_np.tolist(), "score": float(score)}

@@ -1,0 +1,77 @@
+"""Sharded training step: loss -> grad -> clip -> AdamW update, SPMD over a
+device mesh.
+
+Replaces the reference's DDP step (lib/train/trainers/ltr_trainer.py:75-100 +
+implicit NCCL all-reduce): here the batch is sharded on the mesh "data" axis,
+parameters are replicated, and XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .actor import forward_and_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    step: jnp.ndarray  # () int32
+
+
+def create_train_state(variables: dict, tx) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats", {}),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_train_step(model, tx, cfg):
+    """Returns train_step(state, batch) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: dict):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            loss, (metrics, new_model_state) = forward_and_loss(
+                model, variables, batch, cfg, train=True)
+            return loss, (metrics, new_model_state)
+
+        grads, (metrics, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_model_state.get("batch_stats", state.batch_stats),
+            step=state.step + 1,
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg):
+    def eval_step(state: TrainState, batch: dict):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        _, (metrics, _) = forward_and_loss(model, variables, batch, cfg, train=False)
+        return metrics
+
+    return eval_step
+
+
+def jit_sharded_train_step(train_step, mesh: Mesh):
+    """jit the step with replicated outputs; the caller device_puts the batch
+    with its "data"-axis sharding (parallel/mesh.shard_batch) and the state
+    replicated, and XLA derives the gradient all-reduce from that layout."""
+    repl = NamedSharding(mesh, P())
+    return jax.jit(train_step, out_shardings=(repl, repl))
