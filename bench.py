@@ -1,0 +1,92 @@
+"""Benchmark: tracked FPS/chip for UVLTrack-B on the real TPU.
+
+Measures the FULL tracking step (device-side crop/resize/normalize + backbone
++ head + Hann/contrastive decode + map-back + state update) on a 720p frame,
+i.e. the per-frame latency a user sees — a stricter measurement than the
+reference's model-only profile (tracking/profile_model.py:30-47, ~60 FPS on
+an RTX 3090 for UVLTrack-B).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_FPS = 60.0  # UVLTrack-B on RTX 3090 (reference README.md:130)
+
+
+def main():
+    import jax
+
+    from uvltrack_tpu.config import load_cfg
+    from uvltrack_tpu.models.uvltrack import build_model, init_model
+    from uvltrack_tpu.ops import attention
+    from uvltrack_tpu.track.tracker import Tracker
+
+    platform = jax.devices()[0].platform
+    if platform == "tpu" and os.environ.get("UVLTRACK_BENCH_PALLAS", "1") == "1":
+        attention.set_backend("pallas")
+
+    cfg = load_cfg(os.path.join(REPO, "experiments/uvltrack/baseline_base.yaml"))
+    cfg.TEST.MODE = "BBOX"
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    tracker = Tracker(cfg, model, variables, tokenizer=None)
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, size=(720, 1280, 3)).astype(np.uint8)
+    tracker.initialize(frame, {"init_bbox": [600.0, 300.0, 120.0, 160.0]})
+
+    def fallback_to_xla(e):
+        sys.stderr.write(f"pallas path failed ({e}); falling back to XLA attention\n")
+        attention.set_backend("xla")
+        tracker.jt._step_cache.clear()
+        tracker.jt._init_cache.clear()
+        tracker.initialize(frame, {"init_bbox": [600.0, 300.0, 120.0, 160.0]})
+
+    warmup = int(os.environ.get("UVLTRACK_BENCH_WARMUP", "20"))
+    iters = int(os.environ.get("UVLTRACK_BENCH_ITERS", "200"))
+
+    try:
+        for _ in range(warmup):
+            tracker.track(frame)
+    except Exception as e:  # pallas kernel may be unsupported on this runtime
+        if attention.get_backend() == "pallas":
+            fallback_to_xla(e)
+            for _ in range(warmup):
+                tracker.track(frame)
+        else:
+            raise
+
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        tracker.track(frame)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    p50 = float(np.percentile(lat, 50))
+    fps = 1.0 / lat.mean()
+
+    sys.stderr.write(
+        f"platform={platform} attn={attention.get_backend()} "
+        f"mean={lat.mean()*1e3:.2f}ms p50={p50*1e3:.2f}ms "
+        f"p90={np.percentile(lat,90)*1e3:.2f}ms fps={fps:.1f}\n")
+    print(json.dumps({
+        "metric": "tracked_fps_per_chip_uvltrack_b",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Checkpoint-converter tests with synthetic reference-style state dicts."""
+
+import jax
+import numpy as np
+import pytest
+
+from uvltrack_tpu.models.convert import convert_bert, convert_mae_vit, convert_uvltrack
+from test_model import tiny_model, tiny_inputs
+
+
+@pytest.fixture(scope="module")
+def variables():
+    model = tiny_model()
+    inp = tiny_inputs()
+    # jitted: unjitted flax init is ~100x slower on this 1-core sandbox
+    return jax.jit(lambda r: model.init(r, *inp, train=False))(jax.random.PRNGKey(0))
+
+
+def _reference_style_state(params, batch_stats):
+    """Build a torch-named state dict shaped to match the tiny model."""
+    rng = np.random.default_rng(0)
+    st = {}
+
+    def arr(shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    bk = params["backbone"]
+    c = bk["cls_token"].shape[-1]
+    st["backbone.logit_scale"] = np.asarray(0.5, np.float32)
+    st["backbone.vit.cls_token"] = arr(bk["cls_token"].shape)
+    st["backbone.vit.pos_embed_z"] = arr(bk["pos_embed_z"].shape)
+    st["backbone.vit.pos_embed_x"] = arr(bk["pos_embed_x"].shape)
+    st["backbone.vit.modal_embed"] = arr(bk["modal_embed"].shape)
+    k = bk["patch_embed"]["proj"]["kernel"]  # (16,16,3,C)
+    st["backbone.vit.patch_embed.proj.weight"] = arr((k.shape[3], k.shape[2], k.shape[0], k.shape[1]))
+    st["backbone.vit.patch_embed.proj.bias"] = arr((c,))
+    for i in range(4):
+        p = f"backbone.vit.blocks.{i}."
+        st[p + "norm1.weight"] = arr((c,))
+        st[p + "norm1.bias"] = arr((c,))
+        st[p + "attn.qkv.weight"] = arr((3 * c, c))
+        st[p + "attn.qkv.bias"] = arr((3 * c,))
+        st[p + "attn.proj.weight"] = arr((c, c))
+        st[p + "attn.proj.bias"] = arr((c,))
+        st[p + "norm2.weight"] = arr((c,))
+        st[p + "norm2.bias"] = arr((c,))
+        st[p + "mlp.fc1.weight"] = arr((4 * c, c))
+        st[p + "mlp.fc1.bias"] = arr((4 * c,))
+        st[p + "mlp.fc2.weight"] = arr((c, 4 * c))
+        st[p + "mlp.fc2.bias"] = arr((c,))
+    # bert (old-style gamma/beta names to exercise renaming)
+    be = bk["bert_embeddings"]
+    st["backbone.bert.embeddings.word_embeddings.weight"] = arr(be["word_embeddings"]["embedding"].shape)
+    st["backbone.bert.embeddings.position_embeddings.weight"] = arr(be["position_embeddings"]["embedding"].shape)
+    st["backbone.bert.embeddings.token_type_embeddings.weight"] = arr(be["token_type_embeddings"]["embedding"].shape)
+    st["backbone.bert.embeddings.LayerNorm.gamma"] = arr((c,))
+    st["backbone.bert.embeddings.LayerNorm.beta"] = arr((c,))
+    for i in range(2):
+        p = f"backbone.bert.encoder.layer.{i}."
+        for qkv in ("query", "key", "value"):
+            st[p + f"attention.self.{qkv}.weight"] = arr((c, c))
+            st[p + f"attention.self.{qkv}.bias"] = arr((c,))
+        st[p + "attention.output.dense.weight"] = arr((c, c))
+        st[p + "attention.output.dense.bias"] = arr((c,))
+        st[p + "attention.output.LayerNorm.gamma"] = arr((c,))
+        st[p + "attention.output.LayerNorm.beta"] = arr((c,))
+        st[p + "intermediate.dense.weight"] = arr((2 * c, c))
+        st[p + "intermediate.dense.bias"] = arr((2 * c,))
+        st[p + "output.dense.weight"] = arr((c, 2 * c))
+        st[p + "output.dense.bias"] = arr((c,))
+        st[p + "output.LayerNorm.gamma"] = arr((c,))
+        st[p + "output.LayerNorm.beta"] = arr((c,))
+    # head towers
+    ch = {0: (32, 32), 1: (16, 32), 2: (8, 16), 3: (4, 8)}
+    for tower in ("conv_cls", "conv_offset", "conv_bbox", "conv_bbox_grounding"):
+        for i, (o, ic) in ch.items():
+            p = f"box_head.{tower}.{i}."
+            st[p + "0.weight"] = arr((o, ic, 3, 3))
+            st[p + "0.bias"] = arr((o,))
+            st[p + "1.weight"] = arr((o,))
+            st[p + "1.bias"] = arr((o,))
+            st[p + "1.running_mean"] = arr((o,))
+            st[p + "1.running_var"] = np.abs(arr((o,)))
+        out_ch = 1 if tower == "conv_cls" else 2
+        st[f"box_head.{tower}.4.weight"] = arr((out_ch, 4, 1, 1))
+        st[f"box_head.{tower}.4.bias"] = arr((out_ch,))
+    st["box_head.logit_scale"] = np.asarray(0.3, np.float32)
+    st["box_head.prompter.logit_scale"] = np.asarray(0.2, np.float32)
+    st["box_head.prompter.query_embed.weight"] = arr((3, c))
+    st["box_head.prompter.mlp.fc1.weight"] = arr((4 * c, c))
+    st["box_head.prompter.mlp.fc1.bias"] = arr((4 * c,))
+    st["box_head.prompter.mlp.fc2.weight"] = arr((c, 4 * c))
+    st["box_head.prompter.mlp.fc2.bias"] = arr((c,))
+    # a key the converter should report as unused
+    st["box_head.prompter.q.weight"] = arr((c, c))
+    return st
+
+
+def test_convert_uvltrack_full(variables):
+    params = variables["params"]
+    bstats = variables["batch_stats"]
+    st = _reference_style_state(params, bstats)
+    new_params, new_bstats, unused = convert_uvltrack(st, params, bstats)
+
+    # transposed linear: qkv kernel == state dict weight .T
+    got = new_params["backbone"]["block_0"]["qkv"]["kernel"]
+    assert np.allclose(got, st["backbone.vit.blocks.0.attn.qkv.weight"].T)
+    # conv kernel layout (O,I,kh,kw) -> (kh,kw,I,O)
+    got = new_params["head"]["conv_cls"]["stage_0"]["conv"]["kernel"]
+    assert np.allclose(got, st["box_head.conv_cls.0.0.weight"].transpose(2, 3, 1, 0))
+    # embeddings copied untransposed; gamma/beta renamed
+    got = new_params["backbone"]["bert_embeddings"]["LayerNorm"]["scale"]
+    assert np.allclose(got, st["backbone.bert.embeddings.LayerNorm.gamma"])
+    # BN running stats land in batch_stats
+    got = new_bstats["head"]["conv_bbox"]["stage_2"]["bn"]["mean"]
+    assert np.allclose(got, st["box_head.conv_bbox.2.1.running_mean"])
+    # prompter query embed + scalars
+    assert np.allclose(new_params["head"]["prompter"]["query_embed"],
+                       st["box_head.prompter.query_embed.weight"])
+    assert np.allclose(new_params["backbone"]["logit_scale"], 0.5)
+    # unused keys reported (the prompter's dead q/kv linears)
+    assert "box_head.prompter.q.weight" in unused
+
+
+def test_convert_mae_and_bert_subsets(variables):
+    params = variables["params"]
+    rng = np.random.default_rng(1)
+    c = params["backbone"]["cls_token"].shape[-1]
+    mae = {
+        "cls_token": rng.normal(size=params["backbone"]["cls_token"].shape).astype(np.float32),
+        "blocks.1.attn.qkv.weight": rng.normal(size=(3 * c, c)).astype(np.float32),
+        "blocks.1.attn.qkv.bias": rng.normal(size=(3 * c,)).astype(np.float32),
+        "pos_embed": rng.normal(size=(1, 197, c)).astype(np.float32),  # ignored
+    }
+    new_params, unused = convert_mae_vit(mae, params)
+    assert np.allclose(new_params["backbone"]["block_1"]["qkv"]["kernel"],
+                       mae["blocks.1.attn.qkv.weight"].T)
+    assert "pos_embed" in unused
+
+    bert = {
+        "bert.embeddings.word_embeddings.weight":
+            rng.normal(size=params["backbone"]["bert_embeddings"]["word_embeddings"]["embedding"].shape).astype(np.float32),
+        "bert.encoder.layer.0.attention.self.query.weight":
+            rng.normal(size=(c, c)).astype(np.float32),
+        "bert.encoder.layer.0.attention.self.query.bias":
+            rng.normal(size=(c,)).astype(np.float32),
+        "bert.pooler.dense.weight": rng.normal(size=(c, c)).astype(np.float32),  # unused
+    }
+    new_params, unused = convert_bert(bert, params)
+    assert np.allclose(new_params["backbone"]["bert_layer_0"]["query"]["kernel"],
+                       bert["bert.encoder.layer.0.attention.self.query.weight"].T)
+    assert "bert.pooler.dense.weight" in unused

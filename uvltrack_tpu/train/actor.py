@@ -82,8 +82,10 @@ def forward_and_loss(model, variables: dict, batch: dict, cfg,
     w = loss_weights(cfg)
     gt_bbox = fb["search_anno"].astype(jnp.float32)
     gl, l1, mean_iou = box_losses(out["bbox_map"], gt_bbox)
-    cls_loss = gauss_weighted_focal_loss(out["cls_score"], fb["search_cls"],
-                                         reduction=cfg.TRAIN.REDUCTION)
+    # head cls_score is flattened (B, s); the Gaussian gt is (B, hc, wc)
+    cls_loss = gauss_weighted_focal_loss(
+        out["cls_score"], fb["search_cls"].reshape(out["cls_score"].shape),
+        reduction=cfg.TRAIN.REDUCTION)
     gt_cont = cont_gt(gt_bbox, ws, float(cfg.TRAIN.CTR_RATIO))
     cont_loss = weighted_ce_ignore(out["cont_score"].reshape(-1, 2),
                                    gt_cont.reshape(-1), cont_class_weights(cfg))
