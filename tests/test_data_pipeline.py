@@ -1,0 +1,187 @@
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from uvltrack_tpu.config import default_cfg
+from uvltrack_tpu.data.loader import SamplerLoader, collate_frame_major
+from uvltrack_tpu.data.processing import TrackProcessing, flip_phrase, has_directions
+from uvltrack_tpu.data.processing_utils import (generate_cls_label_np,
+                                                grounding_resize_np,
+                                                sample_target_np,
+                                                transform_image_to_crop)
+from uvltrack_tpu.data.sampler import GroundingAndTrackingSampler
+
+
+def small_cfg():
+    c = default_cfg()
+    c.DATA.TEMPLATE.SIZE = 64
+    c.DATA.SEARCH.SIZE = 128
+    c.DATA.SEARCH.FACTOR = 4.0
+    c.DATA.SEARCH.NUMBER = 2
+    c.TRAIN.GROUNDING_RATIO = 0.3
+    c.TRAIN.VL_RATIO = 0.3
+    c.TRAIN.MODE = "joint"
+    return c
+
+
+class FakeVideoDataset:
+    """In-memory video dataset following the BaseVideoDataset contract."""
+
+    def __init__(self, n_seq=3, n_frames=30, size=(240, 320), language="a red car"):
+        self.rng = np.random.default_rng(0)
+        self.n_frames = n_frames
+        self.size = size
+        self.language = language
+        self.seqs = []
+        for _ in range(n_seq):
+            boxes = np.stack([
+                np.linspace(40, 120, n_frames),
+                np.linspace(30, 80, n_frames),
+                np.full(n_frames, 50.0),
+                np.full(n_frames, 40.0),
+            ], -1)
+            self.seqs.append(boxes)
+
+    def get_name(self):
+        return "fake"
+
+    def is_video_sequence(self):
+        return True
+
+    def is_tracking_sequence(self):
+        return True
+
+    def is_grounding_sequence(self):
+        return True
+
+    def is_vl_sequence(self):
+        return True
+
+    def get_num_sequences(self):
+        return len(self.seqs)
+
+    def get_sequence_info(self, seq_id):
+        bbox = self.seqs[seq_id]
+        valid = np.ones(len(bbox), bool)
+        return {"bbox": bbox, "valid": valid, "visible": valid.copy()}
+
+    def get_frames(self, seq_id, frame_ids, anno=None):
+        h, w = self.size
+        frames = [self.rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+                  for _ in frame_ids]
+        anno = anno or self.get_sequence_info(seq_id)
+        frame_annos = {k: [v[i] for i in frame_ids] for k, v in anno.items()}
+        return frames, frame_annos, {"language": self.language}
+
+
+class FakeTok:
+    def encode_query(self, text, n):
+        ids = [101] + [hash(w) % 1000 + 10 for w in text.split()][: n - 2] + [102]
+        mask = [1] * len(ids)
+        while len(ids) < n:
+            ids.append(0)
+            mask.append(0)
+        return ids, mask
+
+
+@pytest.fixture(scope="module")
+def sampler():
+    cfg = small_cfg()
+    proc = TrackProcessing(cfg, rng=np.random.default_rng(1))
+    return GroundingAndTrackingSampler(
+        [FakeVideoDataset()], [1.0], samples_per_epoch=100, max_gap=10,
+        processing=proc, num_search_frames=2, mode="joint",
+        grounding_ratio=0.3, vl_ratio=0.3, tokenizer=FakeTok(),
+        max_query_len=12, seed=0)
+
+
+def test_sampler_produces_valid_samples(sampler):
+    flags = set()
+    for _ in range(20):
+        s = sampler.sample()
+        assert s["template_images"].shape == (1, 64, 64, 3)
+        assert s["search_images"].shape == (2, 128, 128, 3)
+        assert s["search_anno"].shape == (2, 4)
+        assert s["search_cls"].shape == (2, 8, 8)
+        assert s["text"].shape == (2, 12)
+        assert s["flag"] in (0, 1, 2)
+        flags.add(int(s["flag"]))
+        # boxes normalized and inside the crop
+        assert (s["search_anno"] >= -0.25).all() and (s["search_anno"] <= 1.25).all()
+        # cls peak where the box is
+        for i in range(2):
+            b = s["search_anno"][i]
+            cy, cx = np.unravel_index(s["search_cls"][i].argmax(), (8, 8))
+            assert abs((b[0] + b[2] / 2) * 8 - (cx + 0.5)) < 2.0
+            assert abs((b[1] + b[3] / 2) * 8 - (cy + 0.5)) < 2.0
+        if s["flag"] == 1:
+            assert np.allclose(s["template_images"], 0)  # zero template
+        if s["flag"] == 0:
+            assert s["text_mask"].sum() == 0  # text masked for BBOX task
+        else:
+            assert s["text_mask"].sum() > 0
+    assert flags == {0, 1, 2}
+
+
+def test_loader_collates_frame_major(sampler):
+    loader = SamplerLoader(sampler, batch_size=4, steps_per_epoch=2, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["template_images"].shape == (1, 4, 64, 64, 3)
+    assert b["search_images"].shape == (2, 4, 128, 128, 3)
+    assert b["search_cls"].shape == (2, 4, 8, 8)
+    assert b["text"].shape == (2, 4, 12)
+    assert b["flag"].shape == (4,)
+
+
+def test_sample_target_np_geometry():
+    img = np.zeros((100, 200, 3), np.uint8)
+    img[40:60, 90:110] = 255  # white square target
+    crop, rf, att = sample_target_np(img, [90, 40, 20, 20], 2.0, output_sz=80)
+    assert crop.shape == (80, 80, 3)
+    # target occupies the central half of the crop
+    assert crop[40, 40, 0] == 255
+    assert crop[5, 5, 0] == 0
+    assert np.isclose(rf, 80 / 40)
+
+
+def test_transform_image_to_crop_roundtrip():
+    box_extract = np.array([90.0, 40.0, 20.0, 20.0])
+    out = transform_image_to_crop(box_extract, box_extract, 2.0, 80.0, normalize=True)
+    # centered box: (80-1)/2 maps to ~0.5 center
+    cx = out[0] + out[2] / 2
+    assert abs(cx - 0.49375) < 1e-6  # (79/2)/80
+
+
+def test_grounding_resize_letterbox():
+    img = np.full((100, 200, 3), 128, np.uint8)
+    padded, box, att = grounding_resize_np(img, 128, [50, 25, 100, 50])
+    assert padded.shape == (128, 128, 3)
+    # letterbox: 200x100 -> 128x64, pad 32 top/bottom
+    assert (padded[:32] == 0).all() and (padded[-32:] == 0).all()
+    assert att[:32].all() and not att[64].any()
+    # box remapped: x=50/200*128/128, y=(25/100*64+32)/128
+    assert np.isclose(box[0], 50 / 200 * 128 / 128, atol=1e-6)
+    assert np.isclose(box[1], (25 / 100 * 64 + 32) / 128, atol=1e-6)
+
+
+def test_flip_phrase_and_directions():
+    assert flip_phrase("the car on the left side") == "the car on the right side"
+    assert flip_phrase("right of the left tree") == "left of the right tree"
+    assert has_directions("the top shelf")
+    assert not has_directions("a lefty pitcher")  # whole-word match only
+
+
+def test_cls_label_np_matches_jnp():
+    import jax.numpy as jnp
+
+    from uvltrack_tpu.core.heatmap import generate_cls_label
+
+    boxes = np.array([[0.25, 0.25, 0.5, 0.5], [0.6, 0.1, 0.2, 0.3]], np.float32)
+    for dyn in (False, True):
+        a = np.stack([generate_cls_label_np(b, 16, 0.7, dyn) for b in boxes])
+        b = np.asarray(generate_cls_label(jnp.asarray(boxes), 16, 0.7, dyn))
+        assert np.allclose(a, b, atol=1e-6), dyn

@@ -1,0 +1,62 @@
+"""Result analysis CLI (parity: tracking/analysis_results.py).
+
+Checks result-file completeness per dataset, then prints AUC / OP50 / OP75 /
+Precision / Normalized Precision.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+# expected <seq>.txt counts per benchmark (tracking/analysis_results.py:21-31)
+EXPECTED_COUNTS = {
+    "otb99": 96,
+    "tnl2k": 700,
+    "lasot": 280,
+    "lasotext": 150,
+    "trackingnet": 511,
+    "got10k_test": 180,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--tracker_name", default="uvltrack")
+    p.add_argument("--tracker_param", default="baseline_base")
+    p.add_argument("--dataset_name", default="otb99")
+    p.add_argument("--mode", default=None, help="override TEST.MODE for the report dir")
+    p.add_argument("--epoch", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ..config import load_cfg
+    from ..eval.datasets import get_dataset
+    from ..eval.environment import env_settings
+    from ..eval.metrics import evaluate_results_dir
+
+    settings = env_settings()
+    cfg = load_cfg(os.path.join(settings.repo_dir, "experiments", args.tracker_name,
+                                f"{args.tracker_param}.yaml"))
+    mode = args.mode or cfg.TEST.MODE
+    epoch = args.epoch or cfg.TEST.EPOCH
+    report = f"{args.dataset_name}_{mode}_{epoch:04d}"
+    results_dir = os.path.join(settings.results_path, args.tracker_name,
+                               args.tracker_param, report)
+
+    n = len([f for f in glob.glob(os.path.join(results_dir, "*.txt"))
+             if not f.endswith("_time.txt")])
+    expected = EXPECTED_COUNTS.get(args.dataset_name)
+    if expected is not None and n < expected:
+        print(f"WARNING: incomplete results: {n}/{expected} sequences in {results_dir}")
+
+    dataset = get_dataset(args.dataset_name)
+    scores = evaluate_results_dir(results_dir, dataset)
+    print(f"{args.tracker_name}/{args.tracker_param} on {args.dataset_name}: "
+          f"AUC={scores['AUC']:.2f} OP50={scores['OP50']:.2f} "
+          f"OP75={scores['OP75']:.2f} P={scores['Precision']:.2f} "
+          f"Pnorm={scores['NormPrec']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Evaluation CLI: run a tracker over a benchmark and save result files.
+
+Parity with tracking/test.py: `python -m uvltrack_tpu.cli.test uvltrack
+baseline_base --dataset_name otb99 --test_checkpoint <path>`; results land in
+<results>/<dataset>_<MODE>_<EPOCH>/<seq>.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_tracker(cfg, checkpoint: str | None):
+    import jax
+
+    from ..core.tokenizer import BertTokenizer
+    from ..models.convert import convert_uvltrack, load_torch_file
+    from ..models.uvltrack import build_model, init_model
+    from ..track.tracker import Tracker
+
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    if checkpoint:
+        if checkpoint.endswith((".pth", ".pth.tar", ".bin")):
+            state = load_torch_file(checkpoint)
+            params, bstats, unused = convert_uvltrack(
+                state, variables["params"], variables.get("batch_stats", {}))
+            if unused:
+                print(f"converter: {len(unused)} unused keys (e.g. {unused[:3]})")
+            import jax.numpy as jnp
+
+            variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
+                         "batch_stats": jax.tree_util.tree_map(jnp.asarray, bstats)}
+        else:
+            from ..train.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(os.path.dirname(checkpoint))
+            state, _, _ = mgr.restore(None, path=checkpoint)
+            variables = {"params": state["params"],
+                         "batch_stats": state.get("batch_stats", {})}
+    tok = None
+    vocab = cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH
+    if vocab and os.path.exists(vocab):
+        tok = BertTokenizer(vocab)
+    return Tracker(cfg, model, variables, tokenizer=tok)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Run tracker on a benchmark dataset")
+    p.add_argument("tracker_name", nargs="?", default="uvltrack")
+    p.add_argument("tracker_param", nargs="?", default="baseline_base")
+    p.add_argument("--dataset_name", default="otb99")
+    p.add_argument("--test_checkpoint", default=None)
+    p.add_argument("--runid", type=int, default=None)
+    p.add_argument("--sequence", default=None, help="run a single sequence")
+    p.add_argument("--rerun", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..config import load_cfg
+    from ..eval.datasets import get_dataset
+    from ..eval.environment import env_settings
+    from ..eval.metrics import evaluate_results_dir
+    from ..eval.running import run_dataset
+
+    settings = env_settings()
+    yaml_path = os.path.join(settings.repo_dir, "experiments", args.tracker_name,
+                             f"{args.tracker_param}.yaml")
+    cfg = load_cfg(yaml_path)
+
+    dataset = get_dataset(args.dataset_name)
+    if args.sequence:
+        dataset = type(dataset)([s for s in dataset if s.name == args.sequence])
+
+    report = f"{args.dataset_name}_{cfg.TEST.MODE}_{cfg.TEST.EPOCH:04d}"
+    results_dir = os.path.join(settings.results_path, args.tracker_name,
+                               args.tracker_param, report)
+    run_dataset(lambda: build_tracker(cfg, args.test_checkpoint), dataset,
+                results_dir, rerun=args.rerun)
+    try:
+        evaluate_results_dir(results_dir, dataset)
+    except FileNotFoundError:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Training CLI.
+
+Parity with tracking/train.py + lib/train/run_training.py, minus the process
+orchestration: there is no torchrun — SPMD over the jax device mesh replaces
+multi-process DDP (one process drives all local chips; multi-host comes from
+jax.distributed.initialize when launched per-host).
+
+`python -m uvltrack_tpu.cli.train --script uvltrack --config baseline_base
+ [--synthetic N]` — with --synthetic, trains on generated batches (pipeline
+smoke / benchmarking); otherwise uses the real data pipeline (uvltrack_tpu.data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--script", default="uvltrack")
+    p.add_argument("--config", default="baseline_base")
+    p.add_argument("--save_dir", default="output")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic batches/epoch instead of real data")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import load_cfg
+    from ..data.synthetic import synthetic_batch
+    from ..eval.environment import env_settings
+    from ..models.uvltrack import build_model, init_model
+    from ..parallel.mesh import make_mesh, shard_batch
+    from ..train.optim import build_optimizer
+    from ..train.step import (create_train_state, jit_sharded_train_step,
+                              make_eval_step, make_train_step)
+    from ..train.trainer import Trainer
+
+    settings = env_settings()
+    cfg = load_cfg(os.path.join(settings.repo_dir, "experiments", args.script,
+                                f"{args.config}.yaml"))
+    if args.epochs:
+        cfg.TRAIN.EPOCH = args.epochs
+    if args.batch_size:
+        cfg.TRAIN.BATCH_SIZE = args.batch_size
+
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(args.seed))
+
+    mesh = make_mesh(data=int(cfg.TPU.MESH_DATA), model=int(cfg.TPU.MESH_MODEL))
+    n_data = mesh.shape["data"]
+    global_batch = int(cfg.TRAIN.BATCH_SIZE) * n_data
+
+    if args.synthetic:
+        steps_per_epoch = args.synthetic
+
+        def loader():
+            rng = np.random.default_rng(args.seed)
+            for _ in range(steps_per_epoch):
+                b = synthetic_batch(rng, global_batch,
+                                    n_search=int(cfg.DATA.SEARCH.NUMBER),
+                                    template_size=int(cfg.DATA.TEMPLATE.SIZE),
+                                    search_size=int(cfg.DATA.SEARCH.SIZE),
+                                    n_text=int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN),
+                                    gaussian_iou=float(cfg.TRAIN.GAUSSIAN_IOU),
+                                    dynamic_cls=bool(cfg.TRAIN.DYNAMIC_CLS))
+                yield jax.tree_util.tree_map(jnp.asarray, b)
+
+        train_loader = _Reiterable(loader)
+        val_loaders = {}
+    else:
+        from ..data.loader import build_train_loader, build_val_loaders
+
+        train_loader = build_train_loader(cfg, global_batch)
+        val_loaders = build_val_loaders(cfg, global_batch)
+        steps_per_epoch = len(train_loader)
+
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch)
+    state = create_train_state(variables, tx)
+    train_step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh)
+    eval_step = jax.jit(make_eval_step(model, cfg))
+
+    ckpt_dir = os.path.join(settings.repo_dir, "checkpoints", "train",
+                            args.script, args.config)
+    log_path = os.path.join(args.save_dir, "logs", f"{args.script}-{args.config}.log")
+    trainer = Trainer(cfg, train_step, state, train_loader, val_loaders,
+                      eval_step=eval_step, checkpoint_dir=ckpt_dir,
+                      log_path=log_path, shard_fn=lambda b: shard_batch(mesh, b))
+    trainer.train(int(cfg.TRAIN.EPOCH), load_latest=True, fail_safe=True)
+
+
+class _Reiterable:
+    def __init__(self, gen_fn):
+        self.gen_fn = gen_fn
+
+    def __iter__(self):
+        return self.gen_fn()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Dataset-name -> training dataset instances (parity: names2datasets,
+lib/train/base_functions.py:28-71). Paths come from eval.environment
+(local_paths.yaml / UVLTRACK_*_PATH env vars)."""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..eval.environment import env_settings
+
+
+def names2datasets(names: List[str]) -> List:
+    from .datasets.image_datasets import CocoSeq, RefCocoSeq
+    from .datasets.video_datasets import (Got10k, Lasot, LasotExt, Otb99,
+                                          TrackingNet, Tnl2k)
+
+    s = env_settings()
+    out = []
+    for name in names:
+        if name == "LASOT":
+            out.append(Lasot(s.lasot_path, split="train"))
+        elif name == "LASOT_test":
+            out.append(Lasot(s.lasot_path, split="test"))
+        elif name == "LASOTEXT":
+            out.append(LasotExt(s.lasotext_path))
+        elif name == "GOT10K_vottrain":
+            out.append(Got10k(s.got10k_path, split="vottrain"))
+        elif name == "GOT10K_votval":
+            out.append(Got10k(s.got10k_path, split="votval"))
+        elif name == "GOT10K_train_full":
+            out.append(Got10k(s.got10k_path, split="train"))
+        elif name == "TRACKINGNET":
+            out.append(TrackingNet(s.trackingnet_path))
+        elif name == "TNL2K":
+            out.append(Tnl2k(s.tnl2k_path))
+        elif name in ("TNL2K_test",):
+            out.append(Tnl2k(s.tnl2k_path.replace("train", "test")))
+        elif name == "OTB99":
+            out.append(Otb99(s.otb99_path, split="train"))
+        elif name == "OTB99_test":
+            out.append(Otb99(s.otb99_path, split="test"))
+        elif name == "COCO17":
+            out.append(CocoSeq(s.coco_path))
+        elif name == "REFCOCOG":
+            out.append(RefCocoSeq(s.coco_path))
+        elif name == "REFCOCOG_val":
+            out.append(RefCocoSeq(s.coco_path, split="val"))
+        else:
+            raise ValueError(f"unknown training dataset {name!r}")
+    return out

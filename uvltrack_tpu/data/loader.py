@@ -1,0 +1,138 @@
+"""Threaded prefetching loader producing frame-major device-ready batches.
+
+Replaces LTRLoader (lib/train/data/loader.py:124-194): the stack_dim=1
+collate becomes an explicit frame-major np.stack on axis 1; multiprocessing
+dataloader workers become a thread pool (cv2 decode releases the GIL, and on
+a TPU VM the host cores feed one process driving all chips).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..config import CfgNode
+
+
+def collate_frame_major(samples: list) -> dict:
+    """List of per-sample dicts -> frame-major batch (n, B, ...)."""
+    batch = {}
+    for key in ("template_images", "template_anno", "search_images",
+                "search_anno", "search_cls", "text", "text_mask"):
+        batch[key] = np.stack([s[key] for s in samples], axis=1)
+    batch["flag"] = np.stack([s["flag"] for s in samples], axis=0)
+    return batch
+
+
+class SamplerLoader:
+    """Iterates `steps` batches per epoch from a callable sampler."""
+
+    def __init__(self, sampler, batch_size: int, steps_per_epoch: int,
+                 num_workers: int = 8, prefetch: int = 4):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.steps_per_epoch = steps_per_epoch
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return self.steps_per_epoch
+
+    def __iter__(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for _ in range(self.steps_per_epoch):
+                        if stop.is_set():
+                            return
+                        futures = [pool.submit(self.sampler)
+                                   for _ in range(self.batch_size)]
+                        samples = [f.result() for f in futures]
+                        q.put(collate_frame_major(samples))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def build_train_loader(cfg: CfgNode, global_batch: int, seed: int = 42):
+    from ..core.tokenizer import BertTokenizer
+    from .builders import names2datasets
+    from .processing import TrackProcessing
+    from .sampler import GroundingAndTrackingSampler
+
+    datasets = names2datasets(list(cfg.DATA.TRAIN.DATASETS_NAME))
+    proc = TrackProcessing(cfg, rng=np.random.default_rng(seed))
+    tok = None
+    if cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH and os.path.exists(
+            cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH):
+        tok = BertTokenizer(cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH)
+    sampler = GroundingAndTrackingSampler(
+        datasets, list(cfg.DATA.TRAIN.DATASETS_RATIO),
+        int(cfg.DATA.TRAIN.SAMPLE_PER_EPOCH), int(cfg.DATA.MAX_SAMPLE_INTERVAL),
+        proc, num_search_frames=int(cfg.DATA.SEARCH.NUMBER),
+        mode=cfg.TRAIN.MODE, grounding_ratio=cfg.TRAIN.GROUNDING_RATIO,
+        vl_ratio=cfg.TRAIN.VL_RATIO, tokenizer=tok,
+        max_query_len=int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN),
+        seed=seed)
+    steps = int(cfg.DATA.TRAIN.SAMPLE_PER_EPOCH) // global_batch
+    return SamplerLoader(sampler, global_batch, steps,
+                         num_workers=int(cfg.TRAIN.NUM_WORKER))
+
+
+def build_val_loaders(cfg: CfgNode, global_batch: int, seed: int = 7):
+    """Three validation families: tracking / grounding / vl (base_functions.py:150-191)."""
+    from ..core.tokenizer import BertTokenizer
+    from .builders import names2datasets
+    from .processing import TrackProcessing
+    from .sampler import GroundingAndTrackingSampler
+
+    out = {}
+    tok = None
+    if cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH and os.path.exists(
+            cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH):
+        tok = BertTokenizer(cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH)
+    for name, mode, node in (
+        ("valtrack", "tracking_test", cfg.DATA.VALTRACK),
+        ("valground", "grounding_test", cfg.DATA.VAL),
+        ("valvl", "vl_test", cfg.DATA.VALVL),
+    ):
+        try:
+            datasets = names2datasets(list(node.DATASETS_NAME))
+        except Exception:
+            continue
+        if not datasets:
+            continue
+        proc = TrackProcessing(cfg, rng=np.random.default_rng(seed))
+        ratios = list(node.DATASETS_RATIO) if "DATASETS_RATIO" in node else None
+        spe = int(node.SAMPLE_PER_EPOCH) if "SAMPLE_PER_EPOCH" in node else 1000
+        sampler = GroundingAndTrackingSampler(
+            datasets, ratios, spe, int(cfg.DATA.MAX_SAMPLE_INTERVAL), proc,
+            num_search_frames=int(cfg.DATA.SEARCH.NUMBER), mode=mode,
+            tokenizer=tok,
+            max_query_len=int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN),
+            seed=seed)
+        out[name] = SamplerLoader(sampler, global_batch, spe // global_batch,
+                                  num_workers=int(cfg.TRAIN.NUM_WORKER))
+    return out

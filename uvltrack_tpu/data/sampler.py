@@ -1,0 +1,192 @@
+"""Task-mixing training sampler.
+
+Parity with GroundingAndTrackingSampler (lib/train/data/sampler.py:13-660):
+per-index it rolls a task — tracking (flag 0) with prob 1-gr-vl, grounding
+(flag 1) with prob gr, vision-language (flag 2) with prob vl — picks a
+dataset that supports the task (capability flags), samples template+search
+frames causally within MAX_SAMPLE_INTERVAL, processes crops, and BERT-
+tokenizes the caption to MAX_QUERY_LEN ids (default caption
+'object, thing or stuff' when the dataset has none, sampler.py:205-206).
+Validation modes ('tracking_test'/'grounding_test'/'vl_test') pin the task.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from .processing import TrackProcessing
+
+DEFAULT_CAPTION = "object, thing or stuff"
+
+
+class GroundingAndTrackingSampler:
+    def __init__(self, datasets: List, p_datasets: Optional[List[float]],
+                 samples_per_epoch: int, max_gap: int, processing: TrackProcessing,
+                 num_search_frames: int = 2, num_template_frames: int = 1,
+                 mode: str = "joint", grounding_ratio: Optional[float] = None,
+                 vl_ratio: Optional[float] = None, tokenizer=None,
+                 max_query_len: int = 40, seed: Optional[int] = None):
+        self.datasets = datasets
+        p = np.asarray(p_datasets if p_datasets is not None
+                       else [1.0] * len(datasets), np.float64)
+        self.p_datasets = p / p.sum()
+        self.samples_per_epoch = samples_per_epoch
+        self.max_gap = max_gap
+        self.processing = processing
+        self.num_search = num_search_frames
+        self.num_template = num_template_frames
+        self.mode = mode
+        self.grounding_ratio = grounding_ratio or 0.0
+        self.vl_ratio = vl_ratio or 0.0
+        self.tokenizer = tokenizer
+        self.max_query_len = max_query_len
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.samples_per_epoch
+
+    # ---------------------------------------------------------------- tasks
+    def _roll_task(self) -> int:
+        if self.mode == "grounding" or self.mode == "grounding_test":
+            return 1
+        if self.mode == "tracking_test":
+            return 0
+        if self.mode == "vl_test":
+            return 2
+        p = self.rng.random()
+        if p < 1.0 - self.grounding_ratio - self.vl_ratio:
+            return 0
+        if p < 1.0 - self.vl_ratio:
+            return 1
+        return 2
+
+    def _pick_dataset(self, task: int):
+        ok = []
+        for d, p in zip(self.datasets, self.p_datasets):
+            if task == 0 and d.is_tracking_sequence():
+                ok.append((d, p))
+            elif task == 1 and d.is_grounding_sequence():
+                ok.append((d, p))
+            elif task == 2 and d.is_vl_sequence():
+                ok.append((d, p))
+        if not ok:  # fall back to tracking-capable
+            ok = [(d, p) for d, p in zip(self.datasets, self.p_datasets)
+                  if d.is_tracking_sequence()]
+        probs = np.asarray([p for _, p in ok])
+        probs = probs / probs.sum()
+        idx = self.rng.choice(len(ok), p=probs)
+        return ok[idx][0]
+
+    # ------------------------------------------------------------- sampling
+    def _sample_visible_ids(self, visible: np.ndarray, num: int,
+                            min_id: int = 0, max_id: Optional[int] = None):
+        max_id = len(visible) if max_id is None else max_id
+        min_id = max(0, min_id)
+        max_id = min(len(visible), max_id)
+        ids = np.flatnonzero(visible[min_id:max_id]) + min_id
+        if len(ids) == 0:
+            return None
+        return list(self.rng.choice(ids, size=num, replace=True))
+
+    def _sample_seq(self, dataset):
+        for _ in range(50):
+            seq_id = int(self.rng.integers(0, dataset.get_num_sequences()))
+            info = dataset.get_sequence_info(seq_id)
+            visible = np.asarray(info["visible"], bool)
+            enough = visible.sum() > 2 * (self.num_search + self.num_template)
+            if enough or not dataset.is_video_sequence():
+                if visible.sum() > 0:
+                    return seq_id, info, visible
+        return None
+
+    def _causal_frames(self, visible: np.ndarray):
+        """Template first, then search frames after it within a growing gap."""
+        gap = self.max_gap
+        while True:
+            base = self._sample_visible_ids(
+                visible, 1, 0, len(visible) - self.num_search)
+            if base is None:
+                gap += 5
+                if gap > 10 * self.max_gap:
+                    return None
+                continue
+            tid = base[0]
+            sids = self._sample_visible_ids(visible, self.num_search,
+                                            tid + 1, tid + gap)
+            if sids is None:
+                gap += 5
+                if gap > 10 * self.max_gap:
+                    # fall back: reuse the template frame
+                    return [tid], [tid] * self.num_search
+                continue
+            return [tid], sorted(sids)
+
+    # ---------------------------------------------------------------- public
+    def sample(self) -> dict:
+        while True:
+            task = self._roll_task()
+            dataset = self._pick_dataset(task)
+            out = None
+            if task == 1:
+                out = self._sample_grounding(dataset)
+            else:
+                out = self._sample_track(dataset, task)
+            if out is not None:
+                return out
+
+    __call__ = sample
+
+    def _tokenize(self, language: Optional[str], use_text: bool):
+        nt = self.max_query_len
+        if not use_text or language is None or self.tokenizer is None:
+            return np.zeros((nt,), np.int32), np.zeros((nt,), np.int32)
+        ids, mask = self.tokenizer.encode_query(language, nt)
+        return np.asarray(ids, np.int32), np.asarray(mask, np.int32)
+
+    def _sample_track(self, dataset, task: int) -> Optional[dict]:
+        picked = self._sample_seq(dataset)
+        if picked is None:
+            return None
+        seq_id, info, visible = picked
+        if dataset.is_video_sequence():
+            fr = self._causal_frames(visible)
+            if fr is None:
+                return None
+            tids, sids = fr
+        else:
+            tids, sids = [0], [0] * self.num_search
+        t_frames, t_anno, meta = dataset.get_frames(seq_id, tids, info)
+        s_frames, s_anno, _ = dataset.get_frames(seq_id, sids, info)
+        language = meta.get("language") or DEFAULT_CAPTION
+        sample = self.processing.track_process(
+            t_frames, t_anno["bbox"], s_frames, s_anno["bbox"], language)
+        if sample is None:
+            return None
+        return self._finalize(sample, flag=task if task == 2 else 0)
+
+    def _sample_grounding(self, dataset) -> Optional[dict]:
+        picked = self._sample_seq(dataset)
+        if picked is None:
+            return None
+        seq_id, info, visible = picked
+        ids = self._sample_visible_ids(visible, 1)
+        if ids is None:
+            return None
+        frames, anno, meta = dataset.get_frames(seq_id, ids, info)
+        language = meta.get("language") or DEFAULT_CAPTION
+        sample = self.processing.grounding_process(
+            frames, anno["bbox"], language, self.num_search)
+        if sample is None:
+            return None
+        return self._finalize(sample, flag=1)
+
+    def _finalize(self, sample: dict, flag: int) -> dict:
+        use_text = flag != 0
+        ids, mask = self._tokenize(sample.pop("language"), use_text)
+        n = sample["search_images"].shape[0]
+        sample["text"] = np.tile(ids[None], (n, 1))
+        sample["text_mask"] = np.tile(mask[None], (n, 1))
+        sample["flag"] = np.int32(flag)
+        return sample

@@ -40,6 +40,7 @@ class EnvSettings:
     avist_path: str = ""
     tc128_path: str = ""
     otb_path: str = ""
+    coco_path: str = ""
     pretrained_path: str = ""
 
 

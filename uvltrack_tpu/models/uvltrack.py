@@ -96,5 +96,7 @@ def init_model(model: UVLTrack, cfg, rng) -> dict:
     template_mask = jnp.zeros((b, (tz // 16) ** 2), bool)
     context_mask = jnp.zeros((b, (sx // 16) ** 2), bool)
     flag = jnp.zeros((b,), jnp.int32)
-    return model.init(rng, template, search, text_ids, text_mask,
-                      template_mask, context_mask, flag, train=False)
+    init = jax.jit(lambda r: model.init(r, template, search, text_ids, text_mask,
+                                        template_mask, context_mask, flag,
+                                        train=False))
+    return init(rng)

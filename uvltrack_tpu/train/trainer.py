@@ -1,0 +1,138 @@
+"""Epoch-loop trainer with fail-safe restart, metric meters, and logging.
+
+Parity with BaseTrainer/LTRTrainer (lib/train/trainers/base_trainer.py:63-110,
+ltr_trainer.py:67-190): per-epoch train + interval validation cycles, loss/IoU
+AverageMeters with FPS printed every PRINT_INTERVAL, checkpoint-per-epoch with
+crash-resume (reload latest and continue), and an append-only logfile.
+
+Cross-device stat averaging is implicit: metrics come out of the sharded step
+already reduced over the mesh (the reference needed an explicit all_reduce,
+ltr_trainer.py:173-178).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import traceback
+from collections import defaultdict
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from .checkpoint import CheckpointManager
+
+
+class AverageMeter:
+    def __init__(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.sum += float(val) * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / max(self.count, 1)
+
+
+class Trainer:
+    def __init__(self, cfg, train_step: Callable, state,
+                 train_loader: Iterable, val_loaders: Optional[dict] = None,
+                 eval_step: Optional[Callable] = None,
+                 checkpoint_dir: str = "checkpoints/train/uvltrack/default",
+                 log_path: Optional[str] = None,
+                 shard_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.state = state
+        self.train_loader = train_loader
+        self.val_loaders = val_loaders or {}
+        self.shard_fn = shard_fn or (lambda b: b)
+        self.ckpt = CheckpointManager(checkpoint_dir)
+        self.log_path = log_path
+        self.epoch = 0
+        if log_path:
+            os.makedirs(os.path.dirname(log_path), exist_ok=True)
+
+    # ------------------------------------------------------------------ util
+    def _log(self, msg: str):
+        print(msg, flush=True)
+        if self.log_path:
+            with open(self.log_path, "a") as f:
+                f.write(msg + "\n")
+
+    def _log_metrics(self, record: dict):
+        if self.log_path:
+            with open(self.log_path + ".jsonl", "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+    # ----------------------------------------------------------------- train
+    def train_epoch(self) -> dict:
+        meters = defaultdict(AverageMeter)
+        t_start = time.time()
+        n_frames = 0
+        interval = int(self.cfg.TRAIN.PRINT_INTERVAL)
+        for i, batch in enumerate(self.train_loader, start=1):
+            batch = self.shard_fn(batch)
+            self.state, metrics = self.train_step(self.state, batch)
+            bs = batch["search_images"].shape[0] * batch["search_images"].shape[1]
+            n_frames += bs
+            for k, v in metrics.items():
+                meters[k].update(float(v), bs)
+            if i % interval == 0:
+                fps = n_frames / (time.time() - t_start)
+                stats = "  ".join(f"{k}: {m.avg:.5f}" for k, m in sorted(meters.items()))
+                self._log(f"[train: {self.epoch}, {i}] FPS: {fps:.1f}  {stats}")
+        return {k: m.avg for k, m in meters.items()}
+
+    def validate(self) -> dict:
+        out = {}
+        if self.eval_step is None:
+            return out
+        for name, loader in self.val_loaders.items():
+            meters = defaultdict(AverageMeter)
+            for batch in loader:
+                batch = self.shard_fn(batch)
+                metrics = self.eval_step(self.state, batch)
+                bs = batch["search_images"].shape[0] * batch["search_images"].shape[1]
+                for k, v in metrics.items():
+                    meters[k].update(float(v), bs)
+            out[name] = {k: m.avg for k, m in meters.items()}
+            stats = "  ".join(f"{k}: {m.avg:.5f}" for k, m in sorted(meters.items()))
+            self._log(f"[val {name}: {self.epoch}] {stats}")
+        return out
+
+    def train(self, max_epochs: int, load_latest: bool = True,
+              fail_safe: bool = True, max_retries: int = 10):
+        if load_latest and self.ckpt.has_checkpoint():
+            self.state, extra, self.epoch = self.ckpt.restore(self.state)
+            self._log(f"resumed from epoch {self.epoch}")
+
+        retries = 0
+        while self.epoch < max_epochs:
+            try:
+                self.epoch += 1
+                train_stats = self.train_epoch()
+                val_interval = int(self.cfg.TRAIN.VAL_EPOCH_INTERVAL)
+                val_stats = self.validate() if (val_interval > 0 and self.epoch % val_interval == 0) else {}
+                self.ckpt.save(self.epoch, jax.device_get(self.state),
+                               {"train": train_stats, "val": val_stats})
+                self._log_metrics({"epoch": self.epoch, "train": train_stats,
+                                   "val": val_stats, "time": time.time()})
+                retries = 0
+            except Exception:
+                if not fail_safe or retries >= max_retries:
+                    raise
+                retries += 1
+                self._log(f"epoch {self.epoch} crashed (retry {retries}):\n"
+                          + traceback.format_exc())
+                self.epoch -= 1
+                if self.ckpt.has_checkpoint():
+                    self.state, _, self.epoch = self.ckpt.restore(self.state)
+                    self._log(f"restarted from epoch {self.epoch}")
+        return self.state
