@@ -1,0 +1,51 @@
+import jax
+import numpy as np
+import pytest
+
+from uvltrack_tpu.track.batch import BatchTracker
+from test_model import tiny_model, tiny_inputs
+from test_tracker import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def bt():
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(jax.random.PRNGKey(0))
+    return BatchTracker(tiny_cfg(), model, variables, num_streams=4, tokenizer=None)
+
+
+def test_batch_tracking_lockstep(bt):
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(4)]
+    boxes = np.array([[30, 20, 20, 24], [10, 10, 30, 30],
+                      [50, 40, 20, 20], [5, 5, 15, 15]], np.float32)
+    bt.initialize(frames, boxes)
+    for t in range(4):
+        batch = np.stack([rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+                          for _ in range(4)])
+        out = bt.step(batch)
+        assert out.shape == (4, 5)
+        assert np.isfinite(out).all()
+        x, y, w, h = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+        assert (x >= 0).all() and (y >= 0).all()
+        assert (w >= 10).all() and (h >= 10).all()
+    assert np.asarray(bt.state.frame_id).tolist() == [4, 4, 4, 4]
+
+
+def test_batch_inactive_streams_frozen(bt):
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(4)]
+    boxes = np.array([[30, 20, 20, 24]] * 4, np.float32)
+    bt.initialize(frames, boxes)
+    bt.set_active(np.array([True, True, False, False]))
+    batch = np.stack([rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+                      for _ in range(4)])
+    out = bt.step(batch)
+    state_boxes = np.asarray(bt.state.box)
+    # inactive streams keep the init box; frame counter doesn't advance
+    assert np.allclose(state_boxes[2], boxes[2])
+    assert np.allclose(state_boxes[3], boxes[3])
+    assert np.asarray(bt.state.frame_id).tolist() == [1, 1, 0, 0]

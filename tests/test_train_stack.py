@@ -1,0 +1,156 @@
+"""Trainer-loop, optimizer, and checkpoint tests on the micro model."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvltrack_tpu.config import default_cfg
+from uvltrack_tpu.data.synthetic import synthetic_batch
+from uvltrack_tpu.models.bert import BertConfig
+from uvltrack_tpu.models.head import MABH
+from uvltrack_tpu.models.mufe import MUFE
+from uvltrack_tpu.models.uvltrack import UVLTrack
+from uvltrack_tpu.parallel.mesh import make_mesh, shard_batch
+from uvltrack_tpu.train.checkpoint import CheckpointManager
+from uvltrack_tpu.train.optim import build_optimizer, lr_schedule, param_labels
+from uvltrack_tpu.train.step import (create_train_state, jit_sharded_train_step,
+                                     make_train_step)
+from uvltrack_tpu.train.trainer import Trainer
+
+
+def micro_cfg():
+    c = default_cfg()
+    c.DATA.TEMPLATE.SIZE = 32
+    c.DATA.SEARCH.SIZE = 64
+    c.TRAIN.AUX_WEIGHT = 0.1
+    c.TRAIN.REDUCTION = "mean"
+    c.TRAIN.BATCH_SIZE = 4
+    c.TRAIN.EPOCH = 2
+    c.TRAIN.PRINT_INTERVAL = 1
+    c.TRAIN.VAL_EPOCH_INTERVAL = 0
+    c.TRAIN.SCHEDULER.TYPE = "CosineAnnealingLR"
+    c.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN = 8
+    return c
+
+
+def micro_model():
+    return UVLTrack(
+        backbone=MUFE(embed_dim=32, depth=2, num_heads=4, template_size=32,
+                      search_size=64, fusion_layers=(1,), cont_loss_layers=(0, 1),
+                      txt_token_mode="cls",
+                      bert=BertConfig(vocab_size=100, hidden_size=32, num_layers=1,
+                                      num_heads=4, intermediate_size=64,
+                                      max_position=16)),
+        head=MABH(inplanes=32, channel=32, feat_sz=4, cls_tokenize=False,
+                  softmax_one=True),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = micro_cfg()
+    model = micro_model()
+    rng = np.random.default_rng(0)
+    batch = jax.tree_util.tree_map(jnp.asarray, synthetic_batch(
+        rng, 4, n_search=2, template_size=32, search_size=64, n_text=8, vocab=100))
+    variables = jax.jit(lambda r: model.init(
+        r, batch["template_images"][0, :2], batch["search_images"][0, :2],
+        batch["text"][0, :2], batch["text_mask"][0, :2],
+        jnp.zeros((2, 4), bool), jnp.zeros((2, 16), bool),
+        batch["flag"][:2], train=False))(jax.random.PRNGKey(0))
+    return cfg, model, variables, batch
+
+
+def test_param_labels_and_frozen_pos(setup):
+    _, _, variables, _ = setup
+    labels = param_labels(variables["params"])
+    assert labels["backbone"]["pos_embed_z"] == "frozen"
+    assert labels["backbone"]["pos_embed_x"] == "frozen"
+    assert labels["backbone"]["block_0"]["qkv"]["kernel"] == "backbone"
+    assert labels["head"]["conv_cls"]["stage_0"]["conv"]["kernel"] == "head"
+
+
+def test_lr_schedules():
+    cfg = micro_cfg()
+    cfg.TRAIN.EPOCH = 100
+    for kind, checks in {
+        "CosineAnnealingLR": [(0, cfg.TRAIN.LR), (50 * 10, cfg.TRAIN.LR / 2)],
+        "step": [(0, cfg.TRAIN.LR)],
+        "Mstep": [(0, cfg.TRAIN.LR)],
+        "WarmMstep": [(0, cfg.TRAIN.LR / 30)],
+    }.items():
+        cfg.TRAIN.SCHEDULER.TYPE = kind
+        fn = lr_schedule(cfg, steps_per_epoch=10)
+        for step, want in checks:
+            got = float(fn(jnp.asarray(step)))
+            assert np.isclose(got, want, rtol=1e-4), (kind, step, got, want)
+
+
+def test_train_steps_reduce_loss_and_freeze_pos(setup):
+    cfg, model, variables, batch = setup
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch=10)
+    state = create_train_state(variables, tx)
+    mesh = make_mesh(data=1, model=1)
+    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh)
+    pos0 = np.asarray(state.params["backbone"]["pos_embed_z"]).copy()
+    qkv0 = np.asarray(state.params["backbone"]["block_0"]["qkv"]["kernel"]).copy()
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["Loss/total"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # same batch: loss must drop
+    # pos embeds frozen, other params updated
+    assert np.allclose(np.asarray(state.params["backbone"]["pos_embed_z"]), pos0)
+    assert not np.allclose(np.asarray(state.params["backbone"]["block_0"]["qkv"]["kernel"]), qkv0)
+    # batch_stats actually update (BN running averages)
+    bn0 = np.asarray(variables["batch_stats"]["head"]["conv_cls"]["stage_0"]["bn"]["mean"])
+    bn1 = np.asarray(state.batch_stats["head"]["conv_cls"]["stage_0"]["bn"]["mean"])
+    assert not np.allclose(bn0, bn1)
+
+
+def test_trainer_loop_checkpoint_resume(setup, tmp_path):
+    cfg, model, variables, batch = setup
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch=2)
+    state = create_train_state(variables, tx)
+    mesh = make_mesh(data=1, model=1)
+    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh)
+
+    class Loader:
+        def __iter__(self):
+            for _ in range(2):
+                yield batch
+
+        def __len__(self):
+            return 2
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    trainer = Trainer(cfg, step, state, Loader(), checkpoint_dir=ckpt_dir,
+                      log_path=str(tmp_path / "log.txt"))
+    trainer.train(max_epochs=2, load_latest=False)
+    assert int(trainer.state.step) == 4
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.epochs() == [1, 2]
+
+    # resume continues from epoch 2
+    trainer2 = Trainer(cfg, step, state, Loader(), checkpoint_dir=ckpt_dir,
+                       log_path=str(tmp_path / "log.txt"))
+    trainer2.train(max_epochs=3, load_latest=True)
+    assert trainer2.epoch == 3
+    assert int(trainer2.state.step) == 6
+
+
+def test_checkpoint_retention(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "c"), keep_last=3, keep_every=5)
+    payload = {"x": jnp.ones((2,))}
+    for e in range(1, 12):
+        mgr.save(e, payload)
+    eps = mgr.epochs()
+    assert 5 in eps and 10 in eps  # every-5 kept
+    assert eps[-3:] == [9, 10, 11]  # last 3 kept
+    assert 1 not in eps and 2 not in eps
+    state, extra, epoch = mgr.restore({"x": jnp.zeros((2,))})
+    assert epoch == 11 and np.allclose(state["x"], 1.0)

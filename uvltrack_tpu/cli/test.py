@@ -38,7 +38,7 @@ def build_tracker(cfg, checkpoint: str | None):
             from ..train.checkpoint import CheckpointManager
 
             mgr = CheckpointManager(os.path.dirname(checkpoint))
-            state, _, _ = mgr.restore(None, path=checkpoint)
+            state, _, _ = mgr.restore_raw(path=checkpoint)
             variables = {"params": state["params"],
                          "batch_stats": state.get("batch_stats", {})}
     tok = None

@@ -1,0 +1,239 @@
+"""Batched multi-stream tracking: N sequences advance in lockstep on one chip.
+
+Replaces the reference's eval-time process pool over GPUs
+(lib/test/evaluation/running.py:93-102) with the TPU-native equivalent
+(SURVEY.md §2.10): the per-frame step is vmapped over a stream axis, so one
+jitted call advances every stream — the MXU sees batch-N matmuls instead of
+N sequential batch-1 calls (BASELINE.json config 5).
+
+All streams share frame resolution per call (pad/bucket upstream if mixed).
+Streams can be individually active/inactive (finished sequences keep their
+state frozen), so ragged sequence lengths batch cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.box_ops import box_cxcywh_to_xywh, clip_box_xywh
+from ..core.geometry import anno2mask, crop_box_normalized, map_box_back
+from ..core.hann import hanning2d_flat
+from ..models.uvltrack import UVLTrack
+from .pipeline import sample_target_device
+
+
+class BatchState(NamedTuple):
+    box: jnp.ndarray          # (S, 4)
+    prompt: jnp.ndarray       # (S, 3, C)
+    max_score: jnp.ndarray    # (S,)
+    frame_id: jnp.ndarray     # (S,)
+    active: jnp.ndarray       # (S,) bool
+    best_box_net: jnp.ndarray  # (S, 4)
+    best_search: jnp.ndarray   # (S, s, C)
+    best_template: jnp.ndarray  # (S, z, C)
+    best_vis_token: jnp.ndarray  # (S, 1, C)
+    best_txt_token: jnp.ndarray  # (S, 1, C)
+
+
+class BatchTracker:
+    """Tracks S streams in lockstep. Streams are initialized together from
+    their first frames, then advanced with step(frames (S,H,W,3))."""
+
+    def __init__(self, cfg, model: UVLTrack, variables: dict, num_streams: int,
+                 tokenizer=None):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.S = num_streams
+        self.tokenizer = tokenizer
+        self.nt = int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN)
+        self.embed_dim = model.backbone.embed_dim
+        self.search_size = int(cfg.TEST.SEARCH_SIZE)
+        self.template_size = int(cfg.TEST.TEMPLATE_SIZE)
+        self.search_factor = float(cfg.TEST.SEARCH_FACTOR)
+        self.template_factor = float(cfg.TEST.TEMPLATE_FACTOR)
+        self.map_size = self.search_size // 16
+        self.update_interval = int(cfg.TEST.UPDATE_INTERVAL)
+        self.threshold = float(cfg.TEST.THRESHOLD)
+        self.has_cont = float(cfg.TRAIN.CONT_WEIGHT) > 0
+        self.window = hanning2d_flat(self.map_size)
+        self._step_cache = {}
+        self._init_cache = {}
+
+    # ------------------------------------------------------------------ init
+    def _init_fn(self, hw):
+        if hw not in self._init_cache:
+            tf, sf = self.template_factor, self.search_factor
+            tz, sx = self.template_size, self.search_size
+
+            def one(variables, frame, box, text_ids, text_mask, flag):
+                framef = frame.astype(jnp.float32)
+                template, _ = sample_target_device(framef, box, tf, tz)
+                tbox = crop_box_normalized(box, tf)[None]
+                template_mask = anno2mask(tbox, tz // 16)
+                context, _ = sample_target_device(framef, box, sf, sx)
+                cbox = crop_box_normalized(box, sf)[None]
+                context_mask = anno2mask(cbox, sx // 16)
+                prompt = self.model.apply(
+                    variables, template, context, text_ids[None], text_mask[None],
+                    template_mask, context_mask, flag[None],
+                    method=UVLTrack.forward_prompt_init)
+                return template[0], template_mask[0], prompt[0]
+
+            self._init_cache[hw] = jax.jit(
+                jax.vmap(one, in_axes=(None, 0, 0, 0, 0, 0)))
+        return self._init_cache[hw]
+
+    def initialize(self, frames: List[np.ndarray], boxes: np.ndarray,
+                   languages: Optional[List[Optional[str]]] = None,
+                   modes: Optional[List[str]] = None):
+        """frames: S first frames (same resolution); boxes: (S,4) xywh."""
+        S = self.S
+        assert len(frames) == S
+        languages = languages or [None] * S
+        ids = np.zeros((S, self.nt), np.int32)
+        mask = np.zeros((S, self.nt), np.int32)
+        flags = np.zeros((S,), np.int32)
+        for i, lang in enumerate(languages):
+            mode = (modes[i] if modes else self.cfg.TEST.MODE)
+            if lang is not None and self.tokenizer is not None and mode != "BBOX":
+                ii, mm = self.tokenizer.encode_query(lang, self.nt)
+                ids[i], mask[i] = ii, mm
+                flags[i] = 2
+        self.text_ids = jnp.asarray(ids)
+        self.text_mask = jnp.asarray(mask)
+        self.flags = jnp.asarray(flags)
+
+        hw = frames[0].shape[:2]
+        stacked = jnp.stack([jnp.asarray(f) for f in frames])
+        boxes_j = jnp.asarray(np.asarray(boxes, np.float32))
+        template, template_mask, prompt = self._init_fn(hw)(
+            self.variables, stacked, boxes_j, self.text_ids, self.text_mask,
+            self.flags)
+        self.template = template          # (S, tz, tz, 3)
+        self.template_mask = template_mask  # (S, z)
+
+        s = (self.search_size // 16) ** 2
+        z = (self.template_size // 16) ** 2
+        c = self.embed_dim
+        self.state = BatchState(
+            box=boxes_j,
+            prompt=prompt,
+            max_score=jnp.zeros((S,), jnp.float32),
+            frame_id=jnp.zeros((S,), jnp.int32),
+            active=jnp.ones((S,), bool),
+            best_box_net=jnp.zeros((S, 4), jnp.float32),
+            best_search=jnp.zeros((S, s, c), jnp.float32),
+            best_template=jnp.zeros((S, z, c), jnp.float32),
+            best_vis_token=jnp.zeros((S, 1, c), jnp.float32),
+            best_txt_token=jnp.zeros((S, 1, c), jnp.float32),
+        )
+
+    # ------------------------------------------------------------------ step
+    def _step_fn(self, hw):
+        if hw not in self._step_cache:
+            h, w = hw
+            sz = self.search_size
+            fsz = self.map_size
+            window = self.window
+            interval = self.update_interval
+            do_update = self.has_cont and interval > 0
+            model = self.model
+
+            def fn(variables, state: BatchState, frames, template,
+                   template_mask, text_ids, text_mask, flags):
+                S = frames.shape[0]
+                framef = frames.astype(jnp.float32)
+                crops, rf = jax.vmap(
+                    lambda f, b: sample_target_device(f, b, self.search_factor, sz)
+                )(framef, state.box)
+                search = crops[:, 0]  # (S, sx, sx, 3)
+                out = model.apply(variables, template, search, text_ids,
+                                  text_mask, state.prompt, flags,
+                                  method=UVLTrack.forward_test)
+                cls = out["cls_score_test"].reshape(S, -1).astype(jnp.float32)
+                if self.has_cont:
+                    cont = jax.nn.softmax(
+                        out["cont_score"].astype(jnp.float32), axis=-1)[:, :, 0]
+                else:
+                    cont = jnp.ones_like(cls)
+                merged = cls * window[None] * cont
+                k = jnp.argmax(merged, axis=-1)  # (S,)
+                bid = jnp.arange(S)
+                box_net = out["bbox_map"][bid, k]  # (S,4)
+                score = (cls * cont)[bid, k]
+
+                pred_crop = box_net * sz / rf[:, None]
+                new_box = map_box_back(pred_crop, state.box, rf, sz)
+                new_box = clip_box_xywh(new_box, h, w, margin=10)
+                # frozen streams keep their box
+                new_box = jnp.where(state.active[:, None], new_box, state.box)
+
+                frame_id = state.frame_id + state.active.astype(jnp.int32)
+                is_best = (score > state.max_score) & state.active
+                pick = lambda a, b: jnp.where(is_best.reshape(
+                    (S,) + (1,) * (a.ndim - 1)), a, b)
+                f32 = lambda a: a.astype(jnp.float32)
+                best_box_net = pick(f32(box_net), state.best_box_net)
+                best_search = pick(f32(out["search"]), state.best_search)
+                best_template = pick(f32(out["template"]), state.best_template)
+                best_vis = pick(f32(out["vis_token"]), state.best_vis_token)
+                best_txt = pick(f32(out["txt_token"]), state.best_txt_token)
+                max_score = jnp.where(is_best, score, state.max_score)
+
+                prompt = state.prompt
+                if do_update:
+                    refresh = ((jnp.mod(frame_id, interval) == 0)
+                               & (max_score > self.threshold) & state.active)
+                    ctx_box = box_cxcywh_to_xywh(best_box_net)
+                    ctx_mask = anno2mask(ctx_box, fsz)
+                    feats = {
+                        "search": best_search,
+                        "template": best_template,
+                        "vis_token": best_vis,
+                        "txt_token": best_txt,
+                        "flag": flags,
+                    }
+                    new_prompt = model.apply(variables, feats, template_mask,
+                                             ctx_mask, method=UVLTrack.forward_prompt)
+                    prompt = jnp.where(refresh[:, None, None],
+                                       new_prompt.astype(prompt.dtype), prompt)
+                    max_score = jnp.where(refresh, 0.0, max_score)
+
+                new_state = BatchState(
+                    box=new_box, prompt=prompt, max_score=max_score,
+                    frame_id=frame_id, active=state.active,
+                    best_box_net=best_box_net, best_search=best_search,
+                    best_template=best_template, best_vis_token=best_vis,
+                    best_txt_token=best_txt)
+                packed = jnp.concatenate([new_box, score[:, None]], axis=-1)
+                return new_state, packed
+
+            self._step_cache[hw] = jax.jit(fn)
+        return self._step_cache[hw]
+
+    def set_active(self, active: np.ndarray):
+        self.state = self.state._replace(active=jnp.asarray(active, bool))
+
+    def step(self, frames) -> np.ndarray:
+        """frames: (S, H, W, 3) or list of S frames. Returns (S, 5) boxes+scores."""
+        if isinstance(frames, (list, tuple)):
+            frames = jnp.stack([jnp.asarray(f) for f in frames])
+        hw = (int(frames.shape[1]), int(frames.shape[2]))
+        self.state, packed = self._step_fn(hw)(
+            self.variables, self.state, frames, self.template,
+            self.template_mask, self.text_ids, self.text_mask, self.flags)
+        return np.asarray(packed, np.float64)
+
+    def step_async(self, frames):
+        if isinstance(frames, (list, tuple)):
+            frames = jnp.stack([jnp.asarray(f) for f in frames])
+        hw = (int(frames.shape[1]), int(frames.shape[2]))
+        self.state, packed = self._step_fn(hw)(
+            self.variables, self.state, frames, self.template,
+            self.template_mask, self.text_ids, self.text_mask, self.flags)
+        return packed
