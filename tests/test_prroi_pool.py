@@ -1,0 +1,106 @@
+"""PrRoIPool tests mirroring the vendored library's validation strategy
+(avg_pool2d equivalence + numeric integration golden + coordinate gradients,
+cf. PreciseRoIPooling/pytorch/tests/test_prroi_pooling2d.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvltrack_tpu.ops.prroi_pool import _hat_cumint, prroi_pool, prroi_pool_one
+
+
+def test_hat_cumint_values():
+    t = jnp.asarray([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0])
+    got = np.asarray(_hat_cumint(t))
+    want = [0.0, 0.0, 0.125, 0.5, 0.875, 1.0, 1.0]
+    assert np.allclose(got, want)
+
+
+def test_matches_average_pooling_on_aligned_rois():
+    """Integer-aligned RoI covering whole cells: PrRoIPool == box average of
+    the bilinear surface — for a bilinear (i.e. piecewise-linear) surface the
+    cell integral equals the average of its 4 corners."""
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(1, 8, 8, 2)).astype(np.float32)
+    # roi [x1,y1,x2,y2] = [1,1,5,5], pooled 2x2 -> bins of 2x2 cells
+    rois = jnp.asarray([[0, 1.0, 1.0, 5.0, 5.0]], jnp.float32)
+    out = np.asarray(prroi_pool(jnp.asarray(feat), rois, 2, 2))
+    f = feat[0]
+
+    def cell_integral(y, x, c):
+        # integral of the bilinear surface over cell [y,y+1]x[x,x+1]
+        return (f[y, x, c] + f[y, x + 1, c] + f[y + 1, x, c] + f[y + 1, x + 1, c]) / 4
+
+    for py in range(2):
+        for px in range(2):
+            for c in range(2):
+                want = np.mean([
+                    cell_integral(1 + 2 * py + dy, 1 + 2 * px + dx, c)
+                    for dy in range(2) for dx in range(2)
+                ])
+                assert np.isclose(out[0, py, px, c], want, atol=1e-5), (py, px, c)
+
+
+def test_matches_numeric_integration():
+    """Golden check against dense numerical integration of the bilinear surface."""
+    rng = np.random.default_rng(1)
+    feat = rng.normal(size=(6, 7, 1)).astype(np.float32)
+    roi = np.array([0.7, 1.3, 5.2, 4.1], np.float32)
+    out = np.asarray(prroi_pool_one(jnp.asarray(feat), jnp.asarray(roi), 2, 3))
+
+    def bilinear(y, x):
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        x0 = np.clip(x0, 0, 6 - 1)
+        y0 = np.clip(y0, 0, 5 - 1)
+        x1, y1 = min(x0 + 1, 6), min(y0 + 1, 5)
+        wx, wy = x - x0, y - y0
+
+        def px(yy, xx):
+            if 0 <= yy < 6 and 0 <= xx < 7:
+                return feat[yy, xx, 0]
+            return 0.0
+
+        return (px(y0, x0) * (1 - wx) * (1 - wy) + px(y0, x1) * wx * (1 - wy)
+                + px(y1, x0) * (1 - wx) * wy + px(y1, x1) * wx * wy)
+
+    bw = (roi[2] - roi[0]) / 3
+    bh = (roi[3] - roi[1]) / 2
+    n = 80
+    for py in range(2):
+        for px_ in range(3):
+            ys = roi[1] + bh * (py + (np.arange(n) + 0.5) / n)
+            xs = roi[0] + bw * (px_ + (np.arange(n) + 0.5) / n)
+            vals = np.array([[bilinear(y, x) for x in xs] for y in ys])
+            want = vals.mean()
+            assert np.isclose(out[py, px_, 0], want, atol=2e-3), (py, px_)
+
+
+def test_gradients_wrt_coords_and_features():
+    rng = np.random.default_rng(2)
+    feat = jnp.asarray(rng.normal(size=(1, 8, 8, 1)).astype(np.float32))
+
+    def loss(roi_coords, f):
+        rois = jnp.concatenate([jnp.zeros((1, 1)), roi_coords[None]], axis=-1)
+        return prroi_pool(f, rois, 2, 2).sum()
+
+    roi = jnp.asarray([1.2, 1.5, 6.3, 6.1], jnp.float32)
+    g_roi, g_feat = jax.grad(loss, argnums=(0, 1))(roi, feat)
+    assert np.isfinite(np.asarray(g_roi)).all() and np.abs(np.asarray(g_roi)).sum() > 0
+    assert np.isfinite(np.asarray(g_feat)).all() and np.abs(np.asarray(g_feat)).sum() > 0
+    # numeric check of one coordinate gradient
+    eps = 1e-3
+
+    def f_at(v):
+        r = roi.at[0].set(v)
+        return float(loss(r, feat))
+
+    num = (f_at(float(roi[0]) + eps) - f_at(float(roi[0]) - eps)) / (2 * eps)
+    assert np.isclose(float(g_roi[0]), num, atol=5e-2)
+
+
+def test_zero_area_roi_is_zero():
+    feat = jnp.ones((1, 8, 8, 1))
+    rois = jnp.asarray([[0, 3.0, 3.0, 3.0, 5.0]], jnp.float32)  # zero width
+    out = np.asarray(prroi_pool(feat, rois, 2, 2))
+    assert np.allclose(out, 0.0)
