@@ -36,7 +36,8 @@ def main():
     if platform == "tpu" and os.environ.get("UVLTRACK_BENCH_PALLAS", "1") == "1":
         attention.set_backend("pallas")
 
-    cfg = load_cfg(os.path.join(REPO, "experiments/uvltrack/baseline_base.yaml"))
+    config = os.environ.get("UVLTRACK_BENCH_CONFIG", "baseline_base")
+    cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
     cfg.TEST.MODE = "BBOX"
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(0))
@@ -109,11 +110,13 @@ def main():
         f"sync: mean={lat.mean()*1e3:.2f}ms p50={p50*1e3:.2f}ms "
         f"p90={np.percentile(lat,90)*1e3:.2f}ms fps={1/lat.mean():.1f} | "
         f"deferred-readback: {wall/iters*1e3:.2f}ms/frame fps={fps:.1f}\n")
+    suffix = "b" if config == "baseline_base" else "l"
+    baseline = BASELINE_FPS if suffix == "b" else 34.0  # README.md:130,133
     print(json.dumps({
-        "metric": "tracked_fps_per_chip_uvltrack_b",
+        "metric": f"tracked_fps_per_chip_uvltrack_{suffix}",
         "value": round(fps, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / baseline, 3),
     }))
 
 

@@ -45,7 +45,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[:].astype(jnp.float32)  # (1, N) broadcasts over rows
+    s = s + bias_ref[0].astype(jnp.float32)  # (1, N) broadcasts over rows
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
@@ -70,10 +70,13 @@ def fused_attention(q, k, v, key_bias):
         v = jnp.pad(v, pad_qkv)
         key_bias = jnp.pad(key_bias, [(0, 0), (0, n_pad - n)],
                            constant_values=_PAD_NEG)
+    # (B, 1, N): the trailing (1, N) block equals the array dims, satisfying
+    # the Mosaic block-shape divisibility rule for any batch size
+    key_bias = key_bias[:, None, :]
 
     spec_qkv = pl.BlockSpec((1, 1, n_pad, d_pad), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    spec_bias = pl.BlockSpec((1, n_pad), lambda i, j: (i, 0),
+    spec_bias = pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=d ** -0.5),

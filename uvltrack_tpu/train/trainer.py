@@ -45,7 +45,8 @@ class Trainer:
                  eval_step: Optional[Callable] = None,
                  checkpoint_dir: str = "checkpoints/train/uvltrack/default",
                  log_path: Optional[str] = None,
-                 shard_fn: Optional[Callable] = None):
+                 shard_fn: Optional[Callable] = None,
+                 tensorboard_dir: Optional[str] = None):
         self.cfg = cfg
         self.train_step = train_step
         self.eval_step = eval_step
@@ -58,6 +59,14 @@ class Trainer:
         self.epoch = 0
         if log_path:
             os.makedirs(os.path.dirname(log_path), exist_ok=True)
+        self.tb = None
+        if tensorboard_dir:  # parity: lib/train/admin/tensorboard.py:10-27
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(tensorboard_dir)
+            except Exception:
+                self.tb = None
 
     # ------------------------------------------------------------------ util
     def _log(self, msg: str):
@@ -70,6 +79,14 @@ class Trainer:
         if self.log_path:
             with open(self.log_path + ".jsonl", "a") as f:
                 f.write(json.dumps(record) + "\n")
+        if self.tb is not None:
+            epoch = record.get("epoch", 0)
+            for group in ("train", "val"):
+                payload = record.get(group) or {}
+                flat = payload.items() if group == "train" else (
+                    (f"{n}/{k}", v) for n, d in payload.items() for k, v in d.items())
+                for k, v in flat:
+                    self.tb.add_scalar(f"{group}/{k}", v, epoch)
 
     # ----------------------------------------------------------------- train
     def train_epoch(self) -> dict:
