@@ -33,7 +33,10 @@ def main():
     from uvltrack_tpu.track.tracker import Tracker
 
     platform = jax.devices()[0].platform
-    if platform == "tpu" and os.environ.get("UVLTRACK_BENCH_PALLAS", "1") == "1":
+    # measured on v5e: XLA's fused attention currently edges out the Pallas
+    # kernel at these tiny sequence lengths (1.40 vs 1.68 ms/forward for
+    # UVLTrack-B) — flip with UVLTRACK_BENCH_PALLAS=1
+    if platform == "tpu" and os.environ.get("UVLTRACK_BENCH_PALLAS", "0") == "1":
         attention.set_backend("pallas")
 
     config = os.environ.get("UVLTRACK_BENCH_CONFIG", "baseline_base")
