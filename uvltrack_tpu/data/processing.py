@@ -62,6 +62,7 @@ class TrackProcessing:
         self.brightness_jitter = 0.2
         self.flip_prob = 0.5
         self.gray_prob = 0.05
+        self.vltvg_aug = bool(cfg.TRAIN.VLTVG_AUG)
 
     # ----------------------------------------------------------------- utils
     def _jitter_box(self, box: np.ndarray, center_jitter: float,
@@ -155,8 +156,14 @@ class TrackProcessing:
 
         srch, anno = [], []
         for im, b in zip(images, boxes):
-            padded, nb, _ = grounding_resize_np(im.astype(np.uint8),
-                                                self.search_size, b)
+            if self.vltvg_aug:
+                from .grounding_aug import grounding_augment
+
+                padded, nb = grounding_augment(im.astype(np.uint8), b,
+                                               self.search_size, self.rng)
+            else:
+                padded, nb, _ = grounding_resize_np(im.astype(np.uint8),
+                                                    self.search_size, b)
             if nb[2] <= 0 or nb[3] <= 0:
                 return None
             srch.append(_normalize_img(padded))
