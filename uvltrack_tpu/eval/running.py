@@ -30,22 +30,30 @@ def save_results(results_dir: str, seq_name: str, boxes: np.ndarray,
 
 
 def run_sequence(tracker, seq: Sequence, results_dir: str,
-                 image_loader: Optional[Callable] = None, rerun: bool = False):
-    """Run one sequence; returns (n_frames, elapsed_s) or None if skipped."""
+                 image_loader: Optional[Callable] = None, rerun: bool = False,
+                 prefetch: int = 8):
+    """Run one sequence; returns (n_frames, elapsed_s) or None if skipped.
+
+    Frames are decoded by the native prefetcher `prefetch` frames ahead of
+    the device, so IO overlaps the tracking step.
+    """
     result_path = os.path.join(results_dir, f"{seq.name}.txt")
     if os.path.isfile(result_path) and not rerun:
         return None
-    load = image_loader or default_image_loader
+    from ..native import SequencePrefetcher, imread_rgb
 
+    load = image_loader or imread_rgb
     boxes, times = [], []
     start = time.time()
-    img0 = load(seq.frames[0])
+    frames = SequencePrefetcher(seq.frames, depth=prefetch, loader=load) \
+        if prefetch > 1 and len(seq.frames) > 2 else map(load, seq.frames)
+    it = iter(frames)
+    img0 = next(it)
     t0 = time.time()
     out = tracker.initialize(img0, seq.init_info())
     times.append(time.time() - t0)
     boxes.append(out.get("target_bbox", list(seq.ground_truth_rect[0])))
-    for path in seq.frames[1:]:
-        img = load(path)
+    for img in it:
         t0 = time.time()
         out = tracker.track(img)
         times.append(time.time() - t0)

@@ -69,9 +69,13 @@ def make_eval_step(model, cfg):
     return eval_step
 
 
-def jit_sharded_train_step(train_step, mesh: Mesh):
-    """jit the step with replicated outputs; the caller device_puts the batch
-    with its "data"-axis sharding (parallel/mesh.shard_batch) and the state
-    replicated, and XLA derives the gradient all-reduce from that layout."""
+def jit_sharded_train_step(train_step, mesh: Mesh, replicate_out: bool = True):
+    """jit the step; the caller device_puts the batch with its "data"-axis
+    sharding (parallel/mesh.shard_batch) and the state replicated (or
+    TP-sharded via parallel/tp.py), and XLA derives the gradient all-reduce
+    from that layout. replicate_out pins outputs replicated (pure DP); with
+    tensor parallelism leave it False so params keep their shardings."""
+    if not replicate_out:
+        return jax.jit(train_step)
     repl = NamedSharding(mesh, P())
     return jax.jit(train_step, out_shardings=(repl, repl))
