@@ -52,6 +52,22 @@ def parse_dtype(name: str):
             "float16": jnp.float16}[name]
 
 
+def cast_inference_variables(variables: dict, dtype=jnp.bfloat16) -> dict:
+    """Cast matrix/tensor parameters to the compute dtype for inference.
+
+    At bs=1 the forward is HBM-bandwidth bound on weight reads; storing the
+    kernels in bf16 halves the bytes. Scalars and 1-D vectors (logit scales,
+    LayerNorm/bias terms) stay fp32 — they are byte-trivial and the
+    numerically sensitive ones.
+    """
+    def cast(x):
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.dtype == jnp.float32:
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, variables)
+
+
 @registry.MODELS.register("uvltrack")
 def build_model(cfg, dtype=None) -> UVLTrack:
     variant = VIT_VARIANTS[vit_variant_from_path(cfg.MODEL.BACKBONE.PRETRAINED_PATH)]

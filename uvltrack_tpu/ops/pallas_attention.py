@@ -40,8 +40,8 @@ def _on_tpu() -> bool:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    q = q_ref[0, 0].astype(jnp.float32)  # (N, D)
-    k = k_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]  # (N, D) — keep bf16 so the MXU runs at full rate;
+    k = k_ref[0, 0]  # fp32 accumulation comes from preferred_element_type
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -62,31 +62,31 @@ def fused_attention(q, k, v, key_bias):
     """q,k,v: (B,H,N,D); key_bias: (B,N) fp32 additive. Returns (B,H,N,D)."""
     b, h, n, d = q.shape
     n_pad = _round_up(n, 128)
-    d_pad = _round_up(d, 128)
-    if n_pad != n or d_pad != d:
-        pad_qkv = [(0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d)]
+    if n_pad != n:
+        pad_qkv = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
         q = jnp.pad(q, pad_qkv)
         k = jnp.pad(k, pad_qkv)
         v = jnp.pad(v, pad_qkv)
         key_bias = jnp.pad(key_bias, [(0, 0), (0, n_pad - n)],
                            constant_values=_PAD_NEG)
     # (B, 1, N): the trailing (1, N) block equals the array dims, satisfying
-    # the Mosaic block-shape divisibility rule for any batch size
+    # the Mosaic block-shape divisibility rule for any batch size; same for
+    # the head dim D (typically 64), which stays unpadded.
     key_bias = key_bias[:, None, :]
 
-    spec_qkv = pl.BlockSpec((1, 1, n_pad, d_pad), lambda i, j: (i, j, 0, 0),
+    spec_qkv = pl.BlockSpec((1, 1, n_pad, d), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
     spec_bias = pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=d ** -0.5),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d_pad), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), v.dtype),
         grid=(b, h),
         in_specs=[spec_qkv, spec_qkv, spec_qkv, spec_bias],
         out_specs=spec_qkv,
     )(q, k, v, key_bias)
-    if n_pad != n or d_pad != d:
-        out = out[:, :, :n, :d]
+    if n_pad != n:
+        out = out[:, :, :n, :]
     return out
 
 

@@ -47,6 +47,10 @@ class BatchTracker:
                  tokenizer=None):
         self.cfg = cfg
         self.model = model
+        if str(cfg.TPU.COMPUTE_DTYPE) == "bfloat16":
+            from ..models.uvltrack import cast_inference_variables
+
+            variables = cast_inference_variables(variables)
         self.variables = variables
         self.S = num_streams
         self.tokenizer = tokenizer

@@ -44,6 +44,10 @@ class JitTracker:
 
     def __init__(self, model: UVLTrack, variables: dict, cfg):
         self.model = model
+        if str(cfg.TPU.COMPUTE_DTYPE) == "bfloat16":
+            from ..models.uvltrack import cast_inference_variables
+
+            variables = cast_inference_variables(variables)
         self.variables = variables
         self.cfg = cfg
         self.search_size = int(cfg.TEST.SEARCH_SIZE)
