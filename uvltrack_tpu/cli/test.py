@@ -70,6 +70,22 @@ def main(argv=None):
                              f"{args.tracker_param}.yaml")
     cfg = load_cfg(yaml_path)
 
+    if args.test_checkpoint is None:
+        # default checkpoint discovery (parity: lib/test/parameter/uvltrack.py's
+        # checkpoints/train/uvltrack/<cfg>/UVLTrack_ep%04d.pth.tar pattern)
+        ckpt_dir = os.path.join(settings.repo_dir, "checkpoints", "train",
+                                args.tracker_name, args.tracker_param)
+        for cand in (
+            os.path.join(ckpt_dir, f"ep{cfg.TEST.EPOCH:04d}.msgpack"),
+            os.path.join(ckpt_dir, f"UVLTrack_ep{cfg.TEST.EPOCH:04d}.pth.tar"),
+        ):
+            if os.path.exists(cand):
+                args.test_checkpoint = cand
+                print(f"using checkpoint {cand}")
+                break
+        else:
+            print("no checkpoint found; running with random weights")
+
     dataset = get_dataset(args.dataset_name)
     if args.sequence:
         dataset = type(dataset)([s for s in dataset if s.name == args.sequence])

@@ -104,4 +104,12 @@ def forward_and_loss(model, variables: dict, batch: dict, cfg,
         "Loss/cont": cont_loss,
         "IoU": mean_iou,
     }
+    if not train:
+        # validation accuracy at IoU 0.5 (parity: actors/uvltrack.py:174-176)
+        from ..core.box_ops import box_cxcywh_to_xyxy, box_iou, box_xywh_to_xyxy
+
+        pred = box_cxcywh_to_xyxy(out["pred_boxes"][:, 0].astype(jnp.float32))
+        gtb = jnp.clip(box_xywh_to_xyxy(gt_bbox), 0.0, 1.0)
+        best_iou, _ = box_iou(pred, gtb)
+        metrics["Acc@0.5"] = (best_iou > 0.5).mean()
     return loss, (metrics, new_model_state)
