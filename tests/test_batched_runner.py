@@ -1,0 +1,53 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from uvltrack_tpu.eval.data import Sequence, SequenceList
+from uvltrack_tpu.eval.metrics import evaluate_results_dir
+from uvltrack_tpu.eval.running_batched import run_dataset_batched
+from uvltrack_tpu.track.batch import BatchTracker
+from test_model import tiny_model, tiny_inputs
+from test_tracker import tiny_cfg
+
+
+def _dataset(tmp_path, lengths=(4, 6, 3)):
+    rng = np.random.default_rng(0)
+    seqs = []
+    for k, n in enumerate(lengths):
+        frames = []
+        for i in range(n):
+            p = tmp_path / f"s{k}_f{i}.npy"
+            np.save(p, rng.integers(0, 255, size=(64, 96, 3)).astype(np.uint8))
+            frames.append(str(p))
+        gt = np.tile(np.array([[10.0 + k, 12.0, 20.0, 18.0]]), (n, 1))
+        seqs.append(Sequence(f"s{k}", frames, "otb99", gt))
+    return SequenceList(seqs)
+
+
+def test_batched_runner_outputs_match_contract(tmp_path):
+    ds = _dataset(tmp_path)
+    model = tiny_model()
+    variables = jax.jit(lambda r: model.init(r, *tiny_inputs(), train=False))(
+        jax.random.PRNGKey(0))
+    cfg = tiny_cfg()
+    cfg.TEST.MODE = "BBOX"
+
+    rdir = str(tmp_path / "results")
+    stats = run_dataset_batched(
+        lambda S: BatchTracker(cfg, model, variables, num_streams=S),
+        ds, rdir, num_streams=2, image_loader=np.load, verbose=False)
+    assert stats["sequences"] == 3
+    for k, n in enumerate((4, 6, 3)):
+        pred = np.loadtxt(os.path.join(rdir, f"s{k}.txt"), delimiter="\t")
+        assert pred.shape == (n, 4)
+        # first row is the init gt box
+        assert np.allclose(pred[0], [10 + k, 12, 20, 18], atol=1.0)
+    scores = evaluate_results_dir(rdir, ds, report=False)
+    assert scores["n_missing"] == 0
+    # resumable
+    stats2 = run_dataset_batched(
+        lambda S: BatchTracker(cfg, model, variables, num_streams=S),
+        ds, rdir, num_streams=2, image_loader=np.load, verbose=False)
+    assert stats2["sequences"] == 0

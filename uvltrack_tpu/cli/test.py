@@ -57,6 +57,9 @@ def main(argv=None):
     p.add_argument("--runid", type=int, default=None)
     p.add_argument("--sequence", default=None, help="run a single sequence")
     p.add_argument("--rerun", action="store_true")
+    p.add_argument("--streams", type=int, default=0,
+                   help="batched evaluation with N lockstep streams per chip "
+                        "(replaces the reference's GPU process pool)")
     args = p.parse_args(argv)
 
     from ..config import load_cfg
@@ -93,8 +96,21 @@ def main(argv=None):
     report = f"{args.dataset_name}_{cfg.TEST.MODE}_{cfg.TEST.EPOCH:04d}"
     results_dir = os.path.join(settings.results_path, args.tracker_name,
                                args.tracker_param, report)
-    run_dataset(lambda: build_tracker(cfg, args.test_checkpoint), dataset,
-                results_dir, rerun=args.rerun)
+    if args.streams > 1:
+        from ..eval.running_batched import run_dataset_batched
+        from ..track.batch import BatchTracker
+
+        proto = build_tracker(cfg, args.test_checkpoint)
+
+        def factory(S):
+            return BatchTracker(cfg, proto.jt.model, proto.jt.variables, S,
+                                tokenizer=proto.tokenizer)
+
+        run_dataset_batched(factory, dataset, results_dir,
+                            num_streams=args.streams, rerun=args.rerun)
+    else:
+        run_dataset(lambda: build_tracker(cfg, args.test_checkpoint), dataset,
+                    results_dir, rerun=args.rerun)
     try:
         evaluate_results_dir(results_dir, dataset)
     except FileNotFoundError:

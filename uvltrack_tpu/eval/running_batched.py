@@ -1,0 +1,97 @@
+"""Batched benchmark evaluation: S sequences advance in lockstep on one chip.
+
+TPU-native replacement for the reference's GPU process pool
+(lib/test/evaluation/running.py:93-102): sequences are bucketed by frame
+resolution, S stream slots are filled per bucket, and every step advances all
+live streams with one vmapped device call (track/batch.BatchTracker). When a
+stream finishes it is frozen (active=False) until the whole slot group
+drains, then slots refill with the next sequences. Output files are identical
+to the sequential runner's.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from .data import Sequence, SequenceList
+from .running import save_results
+
+
+def _resolution(seq: Sequence, image_loader) -> tuple:
+    img = image_loader(seq.frames[0])
+    return img.shape[:2], img
+
+
+def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
+                        dataset: SequenceList, results_dir: str,
+                        num_streams: int = 8,
+                        image_loader: Optional[Callable] = None,
+                        rerun: bool = False, verbose: bool = True):
+    """batch_tracker_factory(num_streams) -> BatchTracker-like object."""
+    from ..native import imread_rgb
+
+    load = image_loader or imread_rgb
+    pending = [s for s in dataset
+               if rerun or not os.path.isfile(os.path.join(results_dir, f"{s.name}.txt"))]
+    skipped = len(dataset) - len(pending)
+    if verbose and skipped:
+        print(f"skipping {skipped} sequences with existing results")
+
+    # bucket by resolution of the first frame
+    buckets = defaultdict(list)
+    first_frames = {}
+    for s in pending:
+        hw, img0 = _resolution(s, load)
+        buckets[hw].append(s)
+        first_frames[s.name] = img0
+
+    total_frames, total_time, done = 0, 0.0, 0
+    for hw, seqs in buckets.items():
+        for g0 in range(0, len(seqs), num_streams):
+            group: List[Sequence] = seqs[g0: g0 + num_streams]
+            S = len(group)
+            bt = batch_tracker_factory(S)
+            t_start = time.time()
+            frames0 = [first_frames[s.name] for s in group]
+            boxes0 = np.stack([np.asarray(s.ground_truth_rect[0], np.float32)
+                               for s in group])
+            langs = [s.language for s in group]
+            bt.initialize(frames0, boxes0, languages=langs)
+
+            max_len = max(len(s.frames) for s in group)
+            outs = [[list(s.ground_truth_rect[0])] for s in group]
+            active = np.ones(S, bool)
+            frame_idx = 1
+            while frame_idx < max_len:
+                active = np.array([frame_idx < len(s.frames) for s in group])
+                bt.set_active(active)
+                batch = np.stack([
+                    load(s.frames[frame_idx]) if active[i]
+                    else first_frames[s.name]
+                    for i, s in enumerate(group)])
+                packed = bt.step(batch)
+                for i in range(S):
+                    if active[i]:
+                        outs[i].append(packed[i, :4].tolist())
+                frame_idx += 1
+
+            elapsed = time.time() - t_start
+            n_frames = sum(len(s.frames) for s in group)
+            for i, s in enumerate(group):
+                times = np.full(len(s.frames), elapsed / max(n_frames, 1))
+                save_results(results_dir, s.name,
+                             np.asarray(outs[i], np.float64), times)
+            total_frames += n_frames
+            total_time += elapsed
+            done += S
+            if verbose:
+                print(f"[{done}/{len(pending)}] {S} streams @ {hw}: "
+                      f"{n_frames} frames, {n_frames/elapsed:.1f} FPS aggregate")
+    if verbose and total_time > 0:
+        print(f"Done: {done} sequences, {total_frames/total_time:.1f} FPS aggregate")
+    return dict(sequences=done, frames=total_frames, seconds=total_time)
