@@ -28,9 +28,15 @@ def main(argv=None):
                    help="train on N synthetic batches/epoch instead of real data")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (launch once per host; "
+                        "coordinator via JAX_COORDINATOR_ADDRESS env)")
     args = p.parse_args(argv)
 
     import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from ..config import load_cfg

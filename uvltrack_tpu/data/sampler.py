@@ -27,7 +27,10 @@ class GroundingAndTrackingSampler:
                  num_search_frames: int = 2, num_template_frames: int = 1,
                  mode: str = "joint", grounding_ratio: Optional[float] = None,
                  vl_ratio: Optional[float] = None, tokenizer=None,
-                 max_query_len: int = 40, seed: Optional[int] = None):
+                 max_query_len: int = 40, seed: Optional[int] = None,
+                 frame_sample_mode: str = "causal"):
+        assert frame_sample_mode in ("causal", "trident", "trident_pro", "stark")
+        self.frame_sample_mode = frame_sample_mode
         self.datasets = datasets
         p = np.asarray(p_datasets if p_datasets is not None
                        else [1.0] * len(datasets), np.float64)
@@ -101,6 +104,26 @@ class GroundingAndTrackingSampler:
                     return seq_id, info, visible
         return None
 
+    def _trident_frames(self, visible: np.ndarray, valid: Optional[np.ndarray]):
+        """'trident'/'stark' sampling (sampler.py:572-621): one anchor template
+        + one dynamic template near the search frame per max_gap entry;
+        'stark' requires valid (not necessarily visible) dynamic frames."""
+        pool = valid if (self.frame_sample_mode == "stark" and valid is not None) else visible
+        for _ in range(50):
+            t1 = self._sample_visible_ids(visible, 1)
+            sid = self._sample_visible_ids(visible, 1)
+            if t1 is None or sid is None:
+                return None
+            if t1[0] >= sid[0]:
+                lo, hi = sid[0], sid[0] + self.max_gap
+            else:
+                lo, hi = sid[0] - self.max_gap, sid[0]
+            extra = self._sample_visible_ids(pool, self.num_template - 1, lo, hi) \
+                if self.num_template > 1 else []
+            if extra is not None:
+                return t1 + list(extra), sid * self.num_search
+        return None
+
     def _causal_frames(self, visible: np.ndarray):
         """Template first, then search frames after it within a growing gap."""
         gap = self.max_gap
@@ -151,7 +174,11 @@ class GroundingAndTrackingSampler:
             return None
         seq_id, info, visible = picked
         if dataset.is_video_sequence():
-            fr = self._causal_frames(visible)
+            if self.frame_sample_mode == "causal":
+                fr = self._causal_frames(visible)
+            else:
+                fr = self._trident_frames(visible, np.asarray(info.get("valid"), bool)
+                                          if info.get("valid") is not None else None)
             if fr is None:
                 return None
             tids, sids = fr
