@@ -279,3 +279,27 @@ def test_full_forward_test_parity():
     # backbone intermediate
     np.testing.assert_allclose(np.asarray(out_j["logits"]),
                                bb["logits"].numpy(), atol=5e-3, rtol=1e-2)
+
+    # -------- grounding scenario (flag=1): zero template, masks empty,
+    # the prompter switcher must return bare query embeds; CLS+template are
+    # masked as attention keys.
+    flag1 = jnp.ones((2,), jnp.int32)
+    t0_ = jnp.zeros_like(t)
+    zm0 = jnp.zeros_like(zm)
+    cm0 = jnp.zeros_like(cm)
+    out1_j = jax.jit(lambda v, *a: model.apply(
+        v, *a, train=False))(conv_vars, t0_, s, ti, tm, zm0, cm0, flag1)
+    with torch.no_grad():
+        t0_t = _t(np.asarray(t0_)).permute(0, 3, 1, 2)
+        bb1 = oracle.backbone(t0_t, s_t, ti, tm, flag1)
+        tok1 = torch.cat([bb1["vis_token"], bb1["txt_token"],
+                          (bb1["vis_token"] + bb1["txt_token"]) / 2], 1)[
+            torch.arange(2), np.asarray(flag1)]
+        prompt1_t = oracle.prompter(bb1["template"], np.asarray(zm0),
+                                    torch.cat([bb1["search"][1:], bb1["search"][:1]], 0),
+                                    np.asarray(cm0), tok1, flag1)
+        out1_t = oracle.head(bb1, prompt1_t, flag1)
+    np.testing.assert_allclose(np.asarray(out1_j["cls_score_test"]),
+                               out1_t["cls_score_test"].numpy(), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out1_j["bbox_map"]),
+                               out1_t["bbox_map"].numpy(), atol=1e-4, rtol=1e-3)
