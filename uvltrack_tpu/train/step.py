@@ -75,7 +75,9 @@ def jit_sharded_train_step(train_step, mesh: Mesh, replicate_out: bool = True):
     TP-sharded via parallel/tp.py), and XLA derives the gradient all-reduce
     from that layout. replicate_out pins outputs replicated (pure DP); with
     tensor parallelism leave it False so params keep their shardings."""
+    # donate the incoming state: params/opt-state buffers (~2.8GB for ViT-B
+    # with Adam) are reused for the outputs instead of doubling live memory
     if not replicate_out:
-        return jax.jit(train_step)
+        return jax.jit(train_step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
-    return jax.jit(train_step, out_shardings=(repl, repl))
+    return jax.jit(train_step, out_shardings=(repl, repl), donate_argnums=(0,))
