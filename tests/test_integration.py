@@ -71,5 +71,12 @@ def test_full_eval_pipeline(tmp_path, monkeypatch):
         stats2 = run_dataset(lambda: Tracker(cfg, model, variables), dataset, rdir,
                              verbose=False)
         assert stats2["sequences"] == 0
+
+        # scan-chunked tracking must produce the same boxes as per-frame mode
+        rdir2 = str(tmp_path / "results_chunked")
+        run_dataset(lambda: Tracker(cfg, model, variables), dataset, rdir2,
+                    verbose=False, chunk=3)
+        pred_chunked = np.loadtxt(os.path.join(rdir2, "Square.txt"), delimiter="\t")
+        assert np.allclose(pred_chunked, pred, atol=1.0)  # results saved as ints
     finally:
         reset_env_cache()

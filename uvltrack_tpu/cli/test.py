@@ -60,6 +60,9 @@ def main(argv=None):
     p.add_argument("--streams", type=int, default=0,
                    help="batched evaluation with N lockstep streams per chip "
                         "(replaces the reference's GPU process pool)")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="scan-chunked single-stream tracking (deferred "
+                        "readback, full device throughput)")
     args = p.parse_args(argv)
 
     from ..config import load_cfg
@@ -110,7 +113,7 @@ def main(argv=None):
                             num_streams=args.streams, rerun=args.rerun)
     else:
         run_dataset(lambda: build_tracker(cfg, args.test_checkpoint), dataset,
-                    results_dir, rerun=args.rerun)
+                    results_dir, rerun=args.rerun, chunk=args.chunk)
     try:
         evaluate_results_dir(results_dir, dataset)
     except FileNotFoundError:

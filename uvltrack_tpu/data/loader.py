@@ -83,7 +83,7 @@ def build_train_loader(cfg: CfgNode, global_batch: int, seed: int = 42):
     from .sampler import GroundingAndTrackingSampler
 
     datasets = names2datasets(list(cfg.DATA.TRAIN.DATASETS_NAME))
-    proc = TrackProcessing(cfg, rng=np.random.default_rng(seed))
+    proc = TrackProcessing(cfg, seed=seed)
     tok = None
     if cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH and os.path.exists(
             cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH):
@@ -124,7 +124,7 @@ def build_val_loaders(cfg: CfgNode, global_batch: int, seed: int = 7):
             continue
         if not datasets:
             continue
-        proc = TrackProcessing(cfg, rng=np.random.default_rng(seed))
+        proc = TrackProcessing(cfg, seed=seed)
         ratios = list(node.DATASETS_RATIO) if "DATASETS_RATIO" in node else None
         spe = int(node.SAMPLE_PER_EPOCH) if "SAMPLE_PER_EPOCH" in node else 1000
         sampler = GroundingAndTrackingSampler(

@@ -46,9 +46,17 @@ def flip_phrase(phrase: str) -> str:
 
 
 class TrackProcessing:
-    def __init__(self, cfg, rng: Optional[np.random.Generator] = None):
+    def __init__(self, cfg, rng: Optional[np.random.Generator] = None,
+                 seed: Optional[int] = None):
         self.cfg = cfg
-        self.rng = rng or np.random.default_rng()
+        if rng is not None:
+            self._rng, self._fixed_rng = None, rng
+        else:
+            # loader workers call this from multiple threads; numpy Generators
+            # are not thread-safe, so default to per-thread streams
+            from .sampler import _ThreadLocalRng
+
+            self._rng, self._fixed_rng = _ThreadLocalRng(seed), None
         self.template_size = int(cfg.DATA.TEMPLATE.SIZE)
         self.search_size = int(cfg.DATA.SEARCH.SIZE)
         self.template_factor = float(cfg.DATA.TEMPLATE.FACTOR)
@@ -63,6 +71,10 @@ class TrackProcessing:
         self.flip_prob = 0.5
         self.gray_prob = 0.05
         self.vltvg_aug = bool(cfg.TRAIN.VLTVG_AUG)
+
+    @property
+    def rng(self) -> np.random.Generator:
+        return self._fixed_rng if self._fixed_rng is not None else self._rng.get()
 
     # ----------------------------------------------------------------- utils
     def _jitter_box(self, box: np.ndarray, center_jitter: float,

@@ -12,6 +12,7 @@ Validation modes ('tracking_test'/'grounding_test'/'vl_test') pin the task.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -19,6 +20,25 @@ import numpy as np
 from .processing import TrackProcessing
 
 DEFAULT_CAPTION = "object, thing or stuff"
+
+
+class _ThreadLocalRng:
+    """numpy Generators are not thread-safe; the loader samples from worker
+    threads, so each thread gets its own stream spawned from one seed."""
+
+    def __init__(self, seed: Optional[int]):
+        self._seq = np.random.SeedSequence(seed)
+        self._local = threading.local()
+        self._lock = threading.Lock()
+
+    def get(self) -> np.random.Generator:
+        rng = getattr(self._local, "rng", None)
+        if rng is None:
+            with self._lock:
+                child = self._seq.spawn(1)[0]
+            rng = np.random.default_rng(child)
+            self._local.rng = rng
+        return rng
 
 
 class GroundingAndTrackingSampler:
@@ -45,7 +65,11 @@ class GroundingAndTrackingSampler:
         self.vl_ratio = vl_ratio or 0.0
         self.tokenizer = tokenizer
         self.max_query_len = max_query_len
-        self.rng = np.random.default_rng(seed)
+        self._rng = _ThreadLocalRng(seed)
+
+    @property
+    def rng(self) -> np.random.Generator:
+        return self._rng.get()
 
     def __len__(self):
         return self.samples_per_epoch

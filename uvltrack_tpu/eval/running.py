@@ -31,11 +31,13 @@ def save_results(results_dir: str, seq_name: str, boxes: np.ndarray,
 
 def run_sequence(tracker, seq: Sequence, results_dir: str,
                  image_loader: Optional[Callable] = None, rerun: bool = False,
-                 prefetch: int = 8):
+                 prefetch: int = 8, chunk: int = 0):
     """Run one sequence; returns (n_frames, elapsed_s) or None if skipped.
 
     Frames are decoded by the native prefetcher `prefetch` frames ahead of
-    the device, so IO overlaps the tracking step.
+    the device, so IO overlaps the tracking step. With chunk>1 and a tracker
+    exposing track_many, frames advance in lax.scan chunks with deferred
+    readback (full device throughput; per-frame times become amortized).
     """
     result_path = os.path.join(results_dir, f"{seq.name}.txt")
     if os.path.isfile(result_path) and not rerun:
@@ -45,7 +47,8 @@ def run_sequence(tracker, seq: Sequence, results_dir: str,
     load = image_loader or imread_rgb
     boxes, times = [], []
     start = time.time()
-    frames = SequencePrefetcher(seq.frames, depth=prefetch, loader=load) \
+    frames = SequencePrefetcher(seq.frames, depth=max(prefetch, chunk + 1),
+                                loader=load) \
         if prefetch > 1 and len(seq.frames) > 2 else map(load, seq.frames)
     it = iter(frames)
     img0 = next(it)
@@ -53,11 +56,29 @@ def run_sequence(tracker, seq: Sequence, results_dir: str,
     out = tracker.initialize(img0, seq.init_info())
     times.append(time.time() - t0)
     boxes.append(out.get("target_bbox", list(seq.ground_truth_rect[0])))
-    for img in it:
-        t0 = time.time()
-        out = tracker.track(img)
-        times.append(time.time() - t0)
-        boxes.append(out["target_bbox"])
+    if chunk > 1 and hasattr(tracker, "track_many"):
+        pending = []
+        for img in it:
+            pending.append(img)
+            if len(pending) == chunk:
+                t0 = time.time()
+                packed = tracker.track_many(pending, chunk=chunk)
+                dt = (time.time() - t0) / len(pending)
+                boxes.extend(packed[:, :4].tolist())
+                times.extend([dt] * len(pending))
+                pending = []
+        if pending:
+            t0 = time.time()
+            packed = tracker.track_many(pending, chunk=chunk)
+            dt = (time.time() - t0) / len(pending)
+            boxes.extend(packed[:, :4].tolist())
+            times.extend([dt] * len(pending))
+    else:
+        for img in it:
+            t0 = time.time()
+            out = tracker.track(img)
+            times.append(time.time() - t0)
+            boxes.append(out["target_bbox"])
     elapsed = time.time() - start
     save_results(results_dir, seq.name, np.asarray(boxes, np.float64),
                  np.asarray(times))
@@ -66,13 +87,14 @@ def run_sequence(tracker, seq: Sequence, results_dir: str,
 
 def run_dataset(tracker_factory: Callable[[], object], dataset: SequenceList,
                 results_dir: str, image_loader: Optional[Callable] = None,
-                rerun: bool = False, verbose: bool = True):
+                rerun: bool = False, verbose: bool = True, chunk: int = 0):
     """Run a tracker over every sequence (resumable)."""
     tracker = tracker_factory()
     total_frames, total_time, done = 0, 0.0, 0
     for i, seq in enumerate(dataset):
         try:
-            r = run_sequence(tracker, seq, results_dir, image_loader, rerun)
+            r = run_sequence(tracker, seq, results_dir, image_loader, rerun,
+                             chunk=chunk)
         except Exception as e:  # keep going like the reference harness
             print(f"[{seq.name}] ERROR: {e}")
             continue
