@@ -94,9 +94,11 @@ def test_train_steps_reduce_loss_and_freeze_pos(setup):
     tx = build_optimizer(cfg, variables["params"], steps_per_epoch=10)
     state = create_train_state(variables, tx)
     mesh = make_mesh(data=1, model=1)
-    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh)
+    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh, donate=False)
     pos0 = np.asarray(state.params["backbone"]["pos_embed_z"]).copy()
     qkv0 = np.asarray(state.params["backbone"]["block_0"]["qkv"]["kernel"]).copy()
+    # the step donates the incoming state: snapshot shared buffers up front
+    bn0 = np.asarray(variables["batch_stats"]["head"]["conv_cls"]["stage_0"]["bn"]["mean"]).copy()
     losses = []
     for _ in range(5):
         state, metrics = step(state, batch)
@@ -107,7 +109,6 @@ def test_train_steps_reduce_loss_and_freeze_pos(setup):
     assert np.allclose(np.asarray(state.params["backbone"]["pos_embed_z"]), pos0)
     assert not np.allclose(np.asarray(state.params["backbone"]["block_0"]["qkv"]["kernel"]), qkv0)
     # batch_stats actually update (BN running averages)
-    bn0 = np.asarray(variables["batch_stats"]["head"]["conv_cls"]["stage_0"]["bn"]["mean"])
     bn1 = np.asarray(state.batch_stats["head"]["conv_cls"]["stage_0"]["bn"]["mean"])
     assert not np.allclose(bn0, bn1)
 
@@ -117,7 +118,7 @@ def test_trainer_loop_checkpoint_resume(setup, tmp_path):
     tx = build_optimizer(cfg, variables["params"], steps_per_epoch=2)
     state = create_train_state(variables, tx)
     mesh = make_mesh(data=1, model=1)
-    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh)
+    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh, donate=False)
 
     class Loader:
         def __iter__(self):

@@ -69,15 +69,23 @@ def make_eval_step(model, cfg):
     return eval_step
 
 
-def jit_sharded_train_step(train_step, mesh: Mesh, replicate_out: bool = True):
+def jit_sharded_train_step(train_step, mesh: Mesh, replicate_out: bool = True,
+                           donate: bool = True):
     """jit the step; the caller device_puts the batch with its "data"-axis
     sharding (parallel/mesh.shard_batch) and the state replicated (or
     TP-sharded via parallel/tp.py), and XLA derives the gradient all-reduce
     from that layout. replicate_out pins outputs replicated (pure DP); with
-    tensor parallelism leave it False so params keep their shardings."""
-    # donate the incoming state: params/opt-state buffers (~2.8GB for ViT-B
-    # with Adam) are reused for the outputs instead of doubling live memory
+    tensor parallelism leave it False so params keep their shardings.
+
+    donate=True reuses the incoming TrainState's buffers for the outputs
+    (params + Adam moments are ~2.8GB for ViT-B; not donating doubles live
+    memory and can fall off a cliff). The caller must not touch the old
+    state — including the `variables` dict create_train_state was built from
+    — after the first step; pass donate=False to keep them alive.
+    """
+    donate_argnums = (0,) if donate else ()
     if not replicate_out:
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(train_step, donate_argnums=donate_argnums)
     repl = NamedSharding(mesh, P())
-    return jax.jit(train_step, out_shardings=(repl, repl), donate_argnums=(0,))
+    return jax.jit(train_step, out_shardings=(repl, repl),
+                   donate_argnums=donate_argnums)
