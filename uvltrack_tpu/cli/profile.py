@@ -65,6 +65,14 @@ def main(argv=None):
         fn = jax.jit(lambda v, *a: model.apply(v, *a,
                                                method=UVLTrack.forward_test)["bbox_map"])
 
+        try:  # FLOPs from the compiled executable (parity: thop in the ref)
+            cost = fn.lower(variables, *inputs).compile().cost_analysis()
+            if cost and "flops" in cost:
+                print(f"compiled cost: {cost['flops']/1e9:.2f} GFLOPs, "
+                      f"{cost.get('bytes accessed', 0)/1e6:.0f} MB accessed")
+        except Exception:
+            pass
+
         def once():
             return fn(variables, *inputs)
     else:
