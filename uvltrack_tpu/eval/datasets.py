@@ -99,10 +99,19 @@ def lasotext_dataset() -> SequenceList:
 
 def got10k_dataset(split: str = "test") -> SequenceList:
     base = env_settings().got10k_path
+    root = base
     if split in ("test", "val"):
         base = os.path.join(base, split)
+    elif split == "ltrval":  # train subset held out via got10k_val_split.txt
+        base = os.path.join(base, "train")
     with open(os.path.join(base, "list.txt")) as f:
         names = f.read().splitlines()
+    if split == "ltrval":
+        split_file = os.path.join(root, "got10k_val_split.txt")
+        if os.path.exists(split_file):
+            with open(split_file) as f:
+                ids = [int(l) for l in f if l.strip()]
+            names = [names[i] for i in ids]
     seqs = []
     for name in names:
         if not name:
@@ -139,8 +148,20 @@ DATASET_BUILDERS: Dict[str, Callable[[], SequenceList]] = {
     "lasotext": lasotext_dataset,
     "got10k_test": lambda: got10k_dataset("test"),
     "got10k_val": lambda: got10k_dataset("val"),
+    "got10k_ltrval": lambda: got10k_dataset("ltrval"),
     "trackingnet": lambda: trackingnet_dataset("TEST"),
+    "lasot_lmdb": lambda: _lasot_lmdb_dataset(),
 }
+
+
+def _lasot_lmdb_dataset() -> SequenceList:
+    """LMDB-packed LaSOT (parity: lasot_lmdbdataset.py); needs the lmdb wheel."""
+    from ..utils.lmdb_utils import _require
+
+    _require()  # raises a clear ImportError when lmdb is unavailable
+    raise NotImplementedError(
+        "lasot_lmdb: lmdb is importable but the packed-DB adapter is not "
+        "wired yet; use the filesystem 'lasot' dataset")
 
 
 def get_dataset(*names: str) -> SequenceList:

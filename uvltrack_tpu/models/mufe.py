@@ -53,6 +53,7 @@ class MUFE(nn.Module):
     bert: BertConfig = BertConfig()
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    drop_path_rate: float = 0.0  # stochastic depth, linear schedule over depth
 
     @property
     def num_patches_z(self) -> int:
@@ -75,9 +76,12 @@ class MUFE(nn.Module):
         self.modal_embed = self.param("modal_embed", nn.initializers.normal(0.02), (2, e))
         block = VitBlock
         if self.remat:
-            block = nn.remat(VitBlock)
+            # deterministic (arg 2 after self) must stay a python bool
+            block = nn.remat(VitBlock, static_argnums=(3,))
+        dpr = np.linspace(0.0, self.drop_path_rate, self.depth)
         self.blocks = [
-            block(e, self.num_heads, 4.0, self.dtype, name=f"block_{i}")
+            block(e, self.num_heads, 4.0, self.dtype, drop_path=float(dpr[i]),
+                  name=f"block_{i}")
             for i in range(self.depth)
         ]
         self.bert_embeddings = BertEmbeddings(self.bert, self.dtype, name="bert_embeddings")
@@ -136,9 +140,13 @@ class MUFE(nn.Module):
         return select_by_flag(group, flag)  # (B, Nx, 1)
 
     # ---------------------------------------------------------------- forward
-    def __call__(self, template, search, text_ids, text_mask, flag):
+    def __call__(self, template, search, text_ids, text_mask, flag,
+                 train: bool = False):
         """template/search: NHWC float; text_ids: (B,Nt) int; text_mask: (B,Nt);
-        flag: (B,) int32. Returns the backbone feature dict."""
+        flag: (B,) int32. Returns the backbone feature dict. train=True
+        enables stochastic depth (needs a 'dropout' rng when
+        drop_path_rate > 0)."""
+        det = not (train and self.drop_path_rate > 0)
         img_feat = self.patchify(template, search)
         txt_feat = self.bert_embeddings(text_ids)
         if self.text_proj is not None:
@@ -155,10 +163,10 @@ class MUFE(nn.Module):
                 e = jnp.concatenate(
                     [img_feat + self.modal_embed[0].astype(self.dtype),
                      txt_feat + self.modal_embed[1].astype(self.dtype)], axis=1)
-                e = self.blocks[i](e, joint_masked)
+                e = self.blocks[i](e, joint_masked, det)
                 img_feat, txt_feat = e[:, :n_img], e[:, n_img:]
             else:
-                img_feat = self.blocks[i](img_feat, visual_masked)
+                img_feat = self.blocks[i](img_feat, visual_masked, det)
                 txt_feat = self.bert_layers[i](txt_feat, bert_bias)
             if i in cont:
                 logits_list.append(self.contrastive_logits(img_feat, txt_feat, text_mask, flag))

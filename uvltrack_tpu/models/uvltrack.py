@@ -24,7 +24,8 @@ class UVLTrack(nn.Module):
 
     def __call__(self, template, search, text_ids, text_mask, template_mask,
                  context_mask, flag, train: bool = False):
-        out = self.backbone(template, search, text_ids, text_mask, flag)
+        out = self.backbone(template, search, text_ids, text_mask, flag,
+                            train=train)
         out["template_mask"] = template_mask
         out["context_mask"] = context_mask
         return self.head(out, prompt=None, train=train)
@@ -85,6 +86,7 @@ def build_model(cfg, dtype=None) -> UVLTrack:
         bert=bert_config_from_type(cfg.MODEL.BACKBONE.LANGUAGE.TYPE),
         dtype=dtype,
         remat=cfg.TPU.REMAT,
+        drop_path_rate=float(cfg.MODEL.BACKBONE.DROP_PATH_RATE),
     )
     head = MABH(
         inplanes=cfg.MODEL.HIDDEN_DIM,

@@ -14,6 +14,7 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,15 +60,30 @@ class Mlp(nn.Module):
 
 
 class VitBlock(nn.Module):
-    """Pre-LN transformer block with additive key-padding masking."""
+    """Pre-LN transformer block with additive key-padding masking.
+
+    drop_path > 0 enables stochastic depth on both residual branches
+    (reference: DropPath in backbones/utils.py, scheduled linearly over depth
+    by drop_path_rate); it requires a 'dropout' rng and deterministic=False.
+    """
 
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    drop_path: float = 0.0
+
+    def _drop_path(self, delta: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.drop_path <= 0.0 or deterministic:
+            return delta
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (delta.shape[0], 1, 1))
+        return delta * mask.astype(delta.dtype) / keep
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, key_masked: Optional[jnp.ndarray] = None):
+    def __call__(self, x: jnp.ndarray, key_masked: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
         b, n, c = x.shape
         h, d = self.num_heads, self.dim // self.num_heads
 
@@ -81,10 +97,12 @@ class VitBlock(nn.Module):
         attn = attn.transpose(0, 2, 1, 3).reshape(b, n, c)
         attn = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         kernel_init=nn.initializers.xavier_uniform(), name="proj")(attn)
-        x = x + attn
+        x = x + self._drop_path(attn, deterministic)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype, name="mlp")(y)
+        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
+                      name="mlp")(y)
+        x = x + self._drop_path(mlp_out, deterministic)
         return x
 
 
