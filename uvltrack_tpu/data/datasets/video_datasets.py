@@ -114,17 +114,35 @@ class Got10k(BaseVideoDataset):
         list_file = {
             "vottrain": "got10k_vot_train_split.txt",
             "votval": "got10k_vot_val_split.txt",
+            "ltrtrain": "got10k_train_split.txt",
+            "ltrval": "got10k_val_split.txt",
             "train": None,
         }.get(split)
         with open(os.path.join(base, "list.txt")) as f:
             all_seqs = [l.strip() for l in f if l.strip()]
-        if list_file and os.path.exists(os.path.join(root, list_file)):
-            with open(os.path.join(root, list_file)) as f:
+        split_path = self._find_split_file(root, list_file)
+        if split_path:
+            with open(split_path) as f:
                 ids = [int(l) for l in f if l.strip()]
             self.sequence_list = [all_seqs[i] for i in ids]
         else:
             self.sequence_list = all_seqs
         self.base = base
+
+    @staticmethod
+    def _find_split_file(root: str, list_file):
+        """Split files (integer sequence-id lists, pytracking/LTR lineage) are
+        searched in the dataset root and in <repo>/data_specs/ — place the
+        published files there (parity: lib/train/data_specs/)."""
+        if not list_file:
+            return None
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        for cand in (os.path.join(root, list_file),
+                     os.path.join(repo, "data_specs", list_file)):
+            if os.path.exists(cand):
+                return cand
+        return None
 
     def is_grounding_sequence(self):
         return False
