@@ -12,6 +12,7 @@ import pytest
     "uvltrack_tpu.cli.demo",
     "uvltrack_tpu.cli.pack",
     "uvltrack_tpu.cli.setup_env",
+    "uvltrack_tpu.cli.parity",
 ])
 def test_cli_help(module):
     import importlib
