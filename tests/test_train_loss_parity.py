@@ -4,7 +4,7 @@ converted reference-style weights.
 
 Locks the whole training objective: batch flattening, template repetition,
 context-mask rotation, training-path prompts (2-column cont score), GIoU+L1
-over the dense bbox map, Gaussian focal, weighted ignore-CE cont loss, and
+on the argmax-selected box, Gaussian focal, weighted ignore-CE cont loss, and
 the grid-sample/top-9 aux loss.
 """
 
@@ -97,11 +97,14 @@ def torch_losses(oracle, fb, cfg):
 
     # ---------------- losses (reference equations)
     gt = _t(fb["search_anno"])
-    s_ = sz * sz
-    pred_xyxy = torch.cat([bbox_map[..., :2] - bbox_map[..., 2:] / 2,
-                           bbox_map[..., :2] + bbox_map[..., 2:] / 2], -1).reshape(-1, 4)
-    gt_xyxy = torch.cat([gt[:, :2], gt[:, :2] + gt[:, 2:]], -1)
-    gt_xyxy = gt_xyxy[:, None, :].repeat(1, s_, 1).reshape(-1, 4).clamp(0.0, 1.0)
+    # giou/l1 are computed on pred_dict['pred_boxes'] — ONLY the
+    # argmax-of-cls·cont box (actors/uvltrack.py:146-155, convert2bbox)
+    cls_merged = cls_map.reshape(b, -1) * cont.softmax(-1)[:, :, 0]
+    k_idx = cls_merged.argmax(-1)
+    pred_box = bbox_map[torch.arange(b), k_idx]  # (b, 4) cxcywh
+    pred_xyxy = torch.cat([pred_box[:, :2] - pred_box[:, 2:] / 2,
+                           pred_box[:, :2] + pred_box[:, 2:] / 2], -1)
+    gt_xyxy = torch.cat([gt[:, :2], gt[:, :2] + gt[:, 2:]], -1).clamp(0.0, 1.0)
     tl = torch.max(pred_xyxy[:, :2], gt_xyxy[:, :2])
     br = torch.min(pred_xyxy[:, 2:], gt_xyxy[:, 2:])
     inter = (br - tl).clamp(min=0).prod(-1)
@@ -156,7 +159,7 @@ def torch_losses(oracle, fb, cfg):
     logits = bb["logits"]  # (b, L, sz, sz)
     L = logits.shape[1]
     lg = logits.reshape(-1, 1, sz, sz)
-    gtr = gt_xyxy.reshape(b, s_, 4)[:, 0][:, None, :].repeat(1, L, 1).reshape(-1, 4)
+    gtr = gt_xyxy[:, None, :].repeat(1, L, 1).reshape(-1, 4)
     ctrp = (gtr[:, :2] + gtr[:, 2:]).reshape(-1, 1, 1, 2) / 2
     pos_lg = F.grid_sample(lg, ctrp * 2 - 1, padding_mode="border",
                            align_corners=True).reshape(b * L, -1)

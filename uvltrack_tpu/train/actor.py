@@ -81,7 +81,9 @@ def forward_and_loss(model, variables: dict, batch: dict, cfg,
 
     w = loss_weights(cfg)
     gt_bbox = fb["search_anno"].astype(jnp.float32)
-    gl, l1, mean_iou = box_losses(out["bbox_map"], gt_bbox)
+    # giou/l1 supervise only the argmax-selected box (reference
+    # actors/uvltrack.py:146-155 uses pred_dict['pred_boxes'], shape (B,1,4))
+    gl, l1, mean_iou = box_losses(out["pred_boxes"], gt_bbox)
     # head cls_score is flattened (B, s); the Gaussian gt is (B, hc, wc)
     cls_loss = gauss_weighted_focal_loss(
         out["cls_score"], fb["search_cls"].reshape(out["cls_score"].shape),

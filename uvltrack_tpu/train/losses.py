@@ -114,14 +114,18 @@ def aux_contrastive_loss(logits: jnp.ndarray, gt_bbox_xywh: jnp.ndarray,
     return ce_mean(all_logits, targets)
 
 
-def box_losses(bbox_map: jnp.ndarray, gt_bbox_xywh: jnp.ndarray):
-    """GIoU + L1 over every position of the dense bbox_map vs the gt box.
+def box_losses(pred_boxes: jnp.ndarray, gt_bbox_xywh: jnp.ndarray):
+    """GIoU + L1 on the decoded boxes vs the gt box.
 
-    bbox_map: (B, S, 4) cxcywh normalized. gt: (B, 4) xywh normalized.
+    pred_boxes: (B, S, 4) cxcywh normalized — in the reference this is the
+    head's `pred_boxes` output, i.e. ONLY the argmax-of-cls·cont position's
+    box (S=1), not the dense bbox_map (lib/train/actors/uvltrack.py:146-155
+    with pred_dict['pred_boxes'] = bbox_map[b_idx, s_idx].unsqueeze(1) from
+    modality_adaptive_box_head.py:108-119). gt: (B, 4) xywh normalized.
     Returns (giou_loss, l1_loss, mean_iou).
     """
-    b, s, _ = bbox_map.shape
-    pred = box_cxcywh_to_xyxy(bbox_map.astype(jnp.float32)).reshape(-1, 4)
+    b, s, _ = pred_boxes.shape
+    pred = box_cxcywh_to_xyxy(pred_boxes.astype(jnp.float32)).reshape(-1, 4)
     gt = jnp.clip(box_xywh_to_xyxy(gt_bbox_xywh.astype(jnp.float32)), 0.0, 1.0)
     gt = jnp.repeat(gt[:, None, :], s, axis=1).reshape(-1, 4)
     gl, iou = giou_loss(pred, gt)
