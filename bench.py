@@ -33,9 +33,10 @@ def main():
     from uvltrack_tpu.track.tracker import Tracker
 
     platform = jax.devices()[0].platform
-    # measured on v5e: XLA's fused attention currently edges out the Pallas
-    # kernel at these tiny sequence lengths (1.40 vs 1.68 ms/forward for
-    # UVLTrack-B) — flip with UVLTRACK_BENCH_PALLAS=1
+    # the head-packed Pallas kernel beats XLA op-level at every model shape
+    # with N>=128 (scripts/bench_attention.py: -9% at B=1/N=361, -25% at
+    # B=16), but the (B,H,N,D) layout materialization around pallas_call
+    # still loses end-to-end at bs=1 — flip with UVLTRACK_BENCH_PALLAS=1
     if platform == "tpu" and os.environ.get("UVLTRACK_BENCH_PALLAS", "0") == "1":
         attention.set_backend("pallas")
 

@@ -1,0 +1,56 @@
+"""Kernel-level tests for the fused Pallas attention (interpret mode, CPU).
+
+The production path only engages on TPU (pallas_attention gates on platform);
+here the same kernel body runs under the Pallas interpreter so the math —
+clamp-instead-of-max softmax, late division, key-padding bias — is locked on
+every backend. Perf evidence lives in scripts/bench_attention.py (real chip).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvltrack_tpu.ops.attention import xla_attention
+from uvltrack_tpu.ops.pallas_attention import _HAS_PALLAS, fused_attention
+
+pytestmark = pytest.mark.skipif(not _HAS_PALLAS, reason="no pallas")
+
+
+def _case(b, h, n, d, seed=0, mask_frac=0.3):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    masked = rng.random((b, n)) < mask_frac
+    masked[:, 0] = False  # never mask every key
+    key_bias = jnp.asarray(np.where(masked, -1e10, 0.0), jnp.float32)
+    return q, k, v, key_bias
+
+
+def test_kernel_matches_xla_masked():
+    q, k, v, key_bias = _case(2, 3, 48, 16)
+    out = fused_attention(q, k, v, key_bias, interpret=True)
+    ref = xla_attention(q, k, v, key_bias[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    # masked keys receive (numerically) zero attention: perturbing their
+    # values must not change the output
+    v2 = v + jnp.where(key_bias[:, None, :, None] < 0, 100.0, 0.0)
+    out2 = fused_attention(q, k, v2, key_bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_no_mask_and_large_logits():
+    q, k, v, key_bias = _case(1, 2, 32, 8, mask_frac=0.0)
+    # large-but-unclamped logits: exp() without max-subtraction reaches ~e^60
+    # and the late division must still reproduce the exact softmax. (Beyond
+    # the ±80 clamp the kernel saturates — trained attention logits are O(10),
+    # and the clamp exists only so the -1e10 mask bias survives exp.)
+    q = q * 15.0
+    logits = np.einsum("bhnd,bhmd->bhnm", np.asarray(q), np.asarray(k)) / np.sqrt(8)
+    assert np.abs(logits).max() < 80.0  # stays in the exact region
+    out = np.asarray(fused_attention(q, k, v, key_bias, interpret=True))
+    assert np.isfinite(out).all()
+    ref = np.asarray(xla_attention(q, k, v, key_bias[:, None, None, :]))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
