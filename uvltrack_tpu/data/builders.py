@@ -11,8 +11,8 @@ from ..eval.environment import env_settings
 
 def names2datasets(names: List[str]) -> List:
     from .datasets.image_datasets import CocoSeq, RefCocoSeq
-    from .datasets.video_datasets import (Got10k, Lasot, LasotExt, Otb99,
-                                          TrackingNet, Tnl2k)
+    from .datasets.video_datasets import (Got10k, ImagenetVID, Lasot, LasotExt,
+                                          Otb99, TrackingNet, Tnl2k)
 
     s = env_settings()
     out = []
@@ -45,6 +45,31 @@ def names2datasets(names: List[str]) -> List:
             out.append(RefCocoSeq(s.coco_path))
         elif name == "REFCOCOG_val":
             out.append(RefCocoSeq(s.coco_path, split="val"))
+        elif name == "VID":
+            out.append(ImagenetVID(s.imagenet_path))
+        elif name.endswith("_lmdb"):
+            out.append(_lmdb_dataset(name, s))
         else:
             raise ValueError(f"unknown training dataset {name!r}")
     return out
+
+
+def _lmdb_dataset(name: str, s):
+    """LMDB-packed variants (reference lib/train/dataset/*_lmdb.py); the
+    suffix selects the packed adapter against the same env path + '_lmdb'."""
+    from .datasets.lmdb_datasets import (CocoSeqLmdb, Got10kLmdb,
+                                         ImagenetVidLmdb, LasotLmdb,
+                                         TrackingNetLmdb)
+
+    base = name[:-len("_lmdb")]
+    if base == "LASOT":
+        return LasotLmdb(s.lasot_lmdb_path)
+    if base.startswith("GOT10K_"):
+        return Got10kLmdb(s.got10k_lmdb_path, split=base[len("GOT10K_"):])
+    if base == "TRACKINGNET":
+        return TrackingNetLmdb(s.trackingnet_lmdb_path)
+    if base == "VID":
+        return ImagenetVidLmdb(s.imagenet_lmdb_path)
+    if base == "COCO17":
+        return CocoSeqLmdb(s.coco_lmdb_path)
+    raise ValueError(f"unknown training dataset {name!r}")

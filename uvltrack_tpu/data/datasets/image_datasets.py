@@ -22,9 +22,12 @@ from .base import BaseVideoDataset
 class _MiniCoco:
     """Minimal COCO instances reader: anns, imgs, cats."""
 
-    def __init__(self, anno_path: str):
-        with open(anno_path) as f:
-            data = json.load(f)
+    def __init__(self, anno_path):
+        if isinstance(anno_path, dict):  # pre-decoded (LMDB-packed) instances
+            data = anno_path
+        else:
+            with open(anno_path) as f:
+                data = json.load(f)
         self.imgs = {im["id"]: im for im in data["images"]}
         self.cats = {c["id"]: c for c in data.get("categories", [])}
         self.anns = {a["id"]: a for a in data["annotations"]}

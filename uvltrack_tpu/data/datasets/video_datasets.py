@@ -307,3 +307,116 @@ class Otb99(BaseVideoDataset):
         anno = anno or self.get_sequence_info(seq_id)
         frame_annos = {k: [v[i] for i in frame_ids] for k, v in anno.items()}
         return frames, frame_annos, {"language": self.get_language(seq_id)}
+
+
+def _vid_process_anno(root: str) -> List[dict]:
+    """Build per-tracklet sequences from the ImageNet-VID XML annotations
+    (parity: lib/train/dataset/imagenetvid.py:107-160). Each tracklet is a
+    dict {set_id, vid_id, class_name, start_frame, anno, target_visible,
+    image_size}; a tracklet ends at its first missing frame."""
+    import xml.etree.ElementTree as ET
+
+    base = os.path.join(root, "Annotations", "VID", "train")
+    all_sequences = []
+    for set_name in sorted(os.listdir(base)):
+        set_id = int(set_name.split("_")[-1])
+        for vid in sorted(os.listdir(os.path.join(base, set_name))):
+            vid_id = int(vid.split("_")[-1])
+            files = sorted(os.listdir(os.path.join(base, set_name, vid)))
+            first = ET.parse(os.path.join(base, set_name, vid, files[0]))
+            image_size = [int(first.find("size/width").text),
+                          int(first.find("size/height").text)]
+            objects = [ET.ElementTree(
+                file=os.path.join(base, set_name, vid, f)).findall("object")
+                for f in files]
+            tracklets = {}
+            for f_id, targets in enumerate(objects):
+                for t in targets:
+                    tid = t.find("trackid").text
+                    tracklets.setdefault(tid, f_id)
+            for tid, start in tracklets.items():
+                anno, visible = [], []
+                class_name = None
+                for f_id in range(start, len(objects)):
+                    found = False
+                    for t in objects[f_id]:
+                        if t.find("trackid").text == tid:
+                            class_name = class_name or t.find("name").text
+                            x1 = int(t.find("bndbox/xmin").text)
+                            y1 = int(t.find("bndbox/ymin").text)
+                            x2 = int(t.find("bndbox/xmax").text)
+                            y2 = int(t.find("bndbox/ymax").text)
+                            anno.append([x1, y1, x2 - x1, y2 - y1])
+                            visible.append(t.find("occluded").text == "0")
+                            found = True
+                            break
+                    if not found:
+                        break
+                all_sequences.append({
+                    "set_id": set_id, "vid_id": vid_id,
+                    "class_name": class_name, "start_frame": start,
+                    "anno": anno, "target_visible": visible,
+                    "image_size": image_size})
+    return all_sequences
+
+
+class ImagenetVID(BaseVideoDataset):
+    """ImageNet-VID tracklets (parity: lib/train/dataset/imagenetvid.py).
+
+    <root>/{Annotations,Data}/VID/train/ILSVRC2015_VID_train_%04d/
+    ILSVRC2015_train_%08d/{%06d.xml,.JPEG}. Tracklet metadata is cached to
+    <root>/cache.json after the first scan. Tracking-only."""
+
+    def __init__(self, root: str, image_loader=None, min_length: int = 0,
+                 max_target_area: float = 1.0):
+        import json
+
+        from .base import opencv_loader
+
+        super().__init__("imagenetvid", root, image_loader or opencv_loader)
+        cache = os.path.join(root, "cache.json")
+        if os.path.isfile(cache):
+            with open(cache) as f:
+                seqs = json.load(f)
+        else:
+            seqs = _vid_process_anno(root)
+            with open(cache, "w") as f:
+                json.dump(seqs, f)
+        self.sequence_list = self._filter(seqs, min_length, max_target_area)
+
+    @staticmethod
+    def _filter(seqs, min_length, max_target_area):
+        def ratio(s):
+            a = np.asarray(s["anno"], np.float64)
+            sz = np.asarray(s["image_size"], np.float64)
+            return np.sqrt(a[0, 2] * a[0, 3] / sz.prod())
+
+        return [s for s in seqs
+                if len(s["anno"]) >= min_length and ratio(s) < max_target_area]
+
+    def is_grounding_sequence(self):
+        return False
+
+    def is_vl_sequence(self):
+        return False
+
+    def get_sequence_info(self, seq_id):
+        s = self.sequence_list[seq_id]
+        bbox = np.asarray(s["anno"], np.float64)
+        valid = (bbox[:, 2] > 0) & (bbox[:, 3] > 0)
+        visible = np.asarray(s["target_visible"], bool) & valid
+        return {"bbox": bbox, "valid": valid, "visible": visible}
+
+    def _frame_path(self, s, frame_id):
+        return os.path.join(
+            self.root, "Data", "VID", "train",
+            f"ILSVRC2015_VID_train_{s['set_id']:04d}",
+            f"ILSVRC2015_train_{s['vid_id']:08d}",
+            f"{frame_id + s['start_frame']:06d}.JPEG")
+
+    def get_frames(self, seq_id, frame_ids, anno=None):
+        s = self.sequence_list[seq_id]
+        frames = [self.image_loader(self._frame_path(s, i)) for i in frame_ids]
+        anno = anno or self.get_sequence_info(seq_id)
+        frame_annos = {k: [v[i] for i in frame_ids] for k, v in anno.items()}
+        return frames, frame_annos, {"language": None}

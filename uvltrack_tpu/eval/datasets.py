@@ -108,10 +108,18 @@ def got10k_dataset(split: str = "test") -> SequenceList:
         names = f.read().splitlines()
     if split == "ltrval":
         split_file = os.path.join(root, "got10k_val_split.txt")
-        if os.path.exists(split_file):
-            with open(split_file) as f:
-                ids = [int(l) for l in f if l.strip()]
-            names = [names[i] for i in ids]
+        if not os.path.exists(split_file):
+            split_file = os.path.join(env_settings().repo_dir, "data_specs",
+                                      "got10k_val_split.txt")
+        if not os.path.exists(split_file):
+            # silently returning the full train list would score the wrong
+            # split; fail loudly instead
+            raise FileNotFoundError(
+                "got10k_ltrval needs got10k_val_split.txt in the dataset root "
+                "or data_specs/ (see data_specs/README.md)")
+        with open(split_file) as f:
+            ids = [int(l) for l in f if l.strip()]
+        names = [names[i] for i in ids]
     seqs = []
     for name in names:
         if not name:
@@ -155,13 +163,39 @@ DATASET_BUILDERS: Dict[str, Callable[[], SequenceList]] = {
 
 
 def _lasot_lmdb_dataset() -> SequenceList:
-    """LMDB-packed LaSOT (parity: lasot_lmdbdataset.py); needs the lmdb wheel."""
-    from ..utils.lmdb_utils import _require
+    """LMDB-packed LaSOT test set (parity: lib/test/evaluation/
+    lasot_lmdbdataset.py). Keys: '<class>/<seq>/groundtruth.txt' (newline
+    rows), '<class>/<seq>/{full_occlusion,out_of_view}.txt' (comma ints),
+    '<class>/<seq>/img/%08d.jpg'; frame refs are (db_path, key) pairs."""
+    from ..utils.lmdb_utils import decode_str
 
-    _require()  # raises a clear ImportError when lmdb is unavailable
-    raise NotImplementedError(
-        "lasot_lmdb: lmdb is importable but the packed-DB adapter is not "
-        "wired yet; use the filesystem 'lasot' dataset")
+    base = env_settings().lasot_lmdb_path
+    split = os.path.join(env_settings().repo_dir, "data_specs",
+                         "lasot_test_split.txt")
+    if not os.path.exists(split):
+        split = os.path.join(base, "lasot_test_split.txt")
+    if not os.path.exists(split):
+        raise FileNotFoundError(
+            "lasot_lmdb needs the published lasot_test_split.txt in "
+            "data_specs/ or the dataset root (see data_specs/README.md)")
+    with open(split) as f:
+        names = [l.strip() for l in f if l.strip()]
+    seqs = []
+    for name in names:
+        cls = name.rsplit("-", 1)[0]
+        rows = decode_str(base, f"{cls}/{name}/groundtruth.txt").split("\n")[:-1]
+        anno = np.asarray([list(map(float, r.split(","))) for r in rows],
+                          np.float64)
+        occ = np.asarray(list(map(int, decode_str(
+            base, f"{cls}/{name}/full_occlusion.txt").split(","))))
+        oov = np.asarray(list(map(int, decode_str(
+            base, f"{cls}/{name}/out_of_view.txt").split(","))))
+        visible = np.logical_and(occ == 0, oov == 0)
+        frames = [(base, f"{cls}/{name}/img/{i:08d}.jpg")
+                  for i in range(1, anno.shape[0] + 1)]
+        seqs.append(Sequence(name, frames, "lasot_lmdb", anno,
+                             target_visible=visible))
+    return SequenceList(seqs)
 
 
 def get_dataset(*names: str) -> SequenceList:

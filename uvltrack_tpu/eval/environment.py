@@ -17,7 +17,9 @@ _PATH_KEYS = [
     "results_path", "result_plot_path", "checkpoints_path", "network_path",
     "otb99_path", "tnl2k_path", "lasot_path", "lasotext_path", "got10k_path",
     "trackingnet_path", "nfs_path", "uav_path", "itb_path", "avist_path",
-    "tc128_path", "otb_path", "pretrained_path",
+    "tc128_path", "otb_path", "pretrained_path", "imagenet_path",
+    "lasot_lmdb_path", "got10k_lmdb_path", "trackingnet_lmdb_path",
+    "imagenet_lmdb_path", "coco_lmdb_path",
 ]
 
 
@@ -42,6 +44,12 @@ class EnvSettings:
     otb_path: str = ""
     coco_path: str = ""
     pretrained_path: str = ""
+    imagenet_path: str = ""
+    lasot_lmdb_path: str = ""
+    got10k_lmdb_path: str = ""
+    trackingnet_lmdb_path: str = ""
+    imagenet_lmdb_path: str = ""
+    coco_lmdb_path: str = ""
 
 
 _CACHED: EnvSettings | None = None

@@ -44,7 +44,16 @@ def run_sequence(tracker, seq: Sequence, results_dir: str,
         return None
     from ..native import SequencePrefetcher, imread_rgb
 
-    load = image_loader or imread_rgb
+    base_load = image_loader or imread_rgb
+
+    def load(f):
+        # LMDB-packed sequences carry (db_path, key) frame refs (parity:
+        # lib/test/evaluation/tracker.py _read_image list dispatch)
+        if isinstance(f, (tuple, list)):
+            from ..utils.lmdb_utils import decode_img
+
+            return decode_img(f[0], f[1])
+        return base_load(f)
     boxes, times = [], []
     start = time.time()
     frames = SequencePrefetcher(seq.frames, depth=max(prefetch, chunk + 1),

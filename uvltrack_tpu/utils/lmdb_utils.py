@@ -1,8 +1,8 @@
 """LMDB-backed dataset IO (parity: lib/utils/lmdb_utils.py:11-42).
 
-Cached per-path LMDB environments with image/str/json decode. The lmdb
-package is not part of the baked environment; everything here degrades to a
-clear ImportError at first use so the pure-filesystem adapters stay usable.
+Cached per-path LMDB handles with image/str/json decode. Backend order:
+the lmdb C binding when installed, otherwise the self-contained pure-Python
+reader (utils/lmdb_native.py) — the *_lmdb dataset adapters work either way.
 """
 
 from __future__ import annotations
@@ -20,28 +20,36 @@ except ImportError:  # pragma: no cover
     lmdb = None
     HAS_LMDB = False
 
-_ENVS: Dict[str, "lmdb.Environment"] = {}
+_ENVS: Dict[str, object] = {}
 
 
-def _require():
-    if not HAS_LMDB:
-        raise ImportError(
-            "lmdb is not installed; install it or use the filesystem dataset "
-            "adapters (the *_lmdb dataset names require it)")
+class _CReader:
+    """Adapter giving the lmdb package the native Reader's .get() surface."""
+
+    def __init__(self, db_path: str):
+        self.env = lmdb.open(db_path, readonly=True, lock=False,
+                             readahead=False, meminit=False)
+
+    def get(self, key):
+        if isinstance(key, str):
+            key = key.encode()
+        with self.env.begin(write=False) as txn:
+            return txn.get(key)
 
 
 def get_env(db_path: str):
-    _require()
     if db_path not in _ENVS:
-        _ENVS[db_path] = lmdb.open(db_path, readonly=True, lock=False,
-                                   readahead=False, meminit=False)
+        if HAS_LMDB:
+            _ENVS[db_path] = _CReader(db_path)
+        else:
+            from .lmdb_native import Reader
+
+            _ENVS[db_path] = Reader(db_path)
     return _ENVS[db_path]
 
 
 def read_bytes(db_path: str, key: str) -> bytes:
-    env = get_env(db_path)
-    with env.begin(write=False) as txn:
-        buf = txn.get(key.encode())
+    buf = get_env(db_path).get(key)
     if buf is None:
         raise KeyError(f"{key!r} not found in {db_path}")
     return buf
