@@ -150,3 +150,48 @@ def test_convert_mae_and_bert_subsets(variables):
     assert np.allclose(new_params["backbone"]["bert_layer_0"]["query"]["kernel"],
                        bert["bert.encoder.layer.0.attention.self.query.weight"].T)
     assert "bert.pooler.dense.weight" in unused
+
+
+def test_load_bert_archive_targz(variables, tmp_path):
+    """tar.gz ingestion matching the released-BERT archive layout
+    (bert_backbone.py:584-600: extract, read pytorch_model.bin)."""
+    import os
+    import tarfile
+
+    import torch
+
+    from uvltrack_tpu.models.convert import load_bert_archive
+
+    c = variables["params"]["backbone"]["cls_token"].shape[-1]
+    rng = np.random.default_rng(2)
+    state = {
+        "bert.embeddings.LayerNorm.gamma":
+            torch.from_numpy(rng.normal(size=(c,)).astype(np.float32)),
+        "bert.encoder.layer.0.attention.self.query.weight":
+            torch.from_numpy(rng.normal(size=(c, c)).astype(np.float32)),
+    }
+    inner = tmp_path / "bert-base-uncased"
+    inner.mkdir()
+    torch.save(state, inner / "pytorch_model.bin")
+    (inner / "bert_config.json").write_text("{}")
+    archive = tmp_path / "bert-base-uncased.tar.gz"
+    with tarfile.open(archive, "w:gz") as tf:
+        tf.add(inner, arcname="bert-base-uncased")
+
+    # from the tar.gz
+    got = load_bert_archive(str(archive))
+    assert set(got) == set(state)
+    assert np.allclose(got["bert.embeddings.LayerNorm.gamma"],
+                       state["bert.embeddings.LayerNorm.gamma"].numpy())
+    # from the extracted directory
+    got2 = load_bert_archive(str(inner))
+    assert set(got2) == set(state)
+    # from the bare .bin
+    got3 = load_bert_archive(str(inner / "pytorch_model.bin"))
+    assert set(got3) == set(state)
+    # gamma/beta rename happens downstream in convert_bert
+    new_params, _ = convert_bert(got, variables["params"])
+    assert np.allclose(
+        new_params["backbone"]["bert_embeddings"]["LayerNorm"]["scale"],
+        state["bert.embeddings.LayerNorm.gamma"].numpy())
+    assert os.path.exists(archive)  # archive untouched

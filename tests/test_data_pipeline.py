@@ -124,11 +124,72 @@ def test_sampler_produces_valid_samples(sampler):
             assert abs(bcy * 8 - (cy + 0.5)) < 2.0
         if s["flag"] == 1:
             assert np.allclose(s["template_images"], 0)  # zero template
-        if s["flag"] == 0:
-            assert s["text_mask"].sum() == 0  # text masked for BBOX task
-        else:
-            assert s["text_mask"].sum() > 0
+        # every task carries the tokenized caption (reference sampler.py:205-216);
+        # flag 0 gates text inside the model via cat_mask, not in the batch
+        assert s["text_mask"].sum() > 0
     assert flags == {0, 1, 2}
+
+
+def _trident_sampler(mode, max_gap, visible=None, num_template=3):
+    cfg = small_cfg()
+    proc = TrackProcessing(cfg, rng=np.random.default_rng(1))
+    ds = FakeVideoDataset()
+    if visible is not None:
+        vis = np.asarray(visible, bool)
+        orig = ds.get_sequence_info
+
+        def info(seq_id):
+            d = orig(seq_id)
+            n = len(d["visible"])
+            d["visible"] = vis[:n].copy()
+            return d
+
+        ds.get_sequence_info = info
+    return GroundingAndTrackingSampler(
+        [ds], [1.0], samples_per_epoch=100, max_gap=max_gap, processing=proc,
+        num_search_frames=1, num_template_frames=num_template, mode="tracking",
+        tokenizer=FakeTok(), max_query_len=12, seed=3,
+        frame_sample_mode=mode)
+
+
+def test_trident_gap_list_one_extra_template_per_entry():
+    """sampler.py:580: `for max_gap in self.max_gap` — a 2-entry gap list
+    yields 1 anchor + 2 dynamic template frame ids."""
+    s = _trident_sampler("trident", max_gap=[5, 40], num_template=3)
+    seq_id, info, visible = s._sample_seq(s.datasets[0])
+    for _ in range(10):
+        tids, sids = s._trident_frames(visible, None)
+        assert len(tids) == 3 and len(sids) == 1
+        assert all(visible[t] for t in tids)
+
+
+def test_trident_pro_allows_invisible_dynamic_templates():
+    """trident_pro samples dynamic templates with allow_invisible=True
+    (sampler.py:586-588): with every frame near the search invisible, plain
+    trident can never finish its gap loop but trident_pro succeeds."""
+    n = 40
+    vis = np.zeros(n, bool)
+    vis[0] = vis[n - 1] = True  # only the two extremes visible
+    s = _trident_sampler("trident_pro", max_gap=[3], visible=vis, num_template=2)
+    rng = np.random.default_rng(0)
+    hit_invisible = False
+    for _ in range(20):
+        out = s._trident_frames(np.concatenate([vis, np.ones(60, bool)])[:100], None)
+        assert out is not None
+        tids, _ = out
+        if not all(np.concatenate([vis, np.ones(60, bool)])[:100][t] for t in tids[1:]):
+            hit_invisible = True
+    assert hit_invisible
+
+
+def test_sample_vl_distinct_path():
+    s = _trident_sampler("causal", max_gap=10, num_template=1)
+    out = s.sample_vl(s.datasets[0])
+    assert out is not None and int(out["flag"]) == 2
+    out0 = s.sample_track(s.datasets[0])
+    assert out0 is not None and int(out0["flag"]) == 0
+    # both carry real text tokens
+    assert out["text_mask"].sum() > 0 and out0["text_mask"].sum() > 0
 
 
 def test_loader_collates_frame_major(sampler):

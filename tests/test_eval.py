@@ -101,6 +101,13 @@ def test_runner_saves_and_resumes(tmp_path):
     scores = M.evaluate_results_dir(rdir, ds, report=False)
     assert scores["Precision"] == 100.0
     assert scores["n_missing"] == 0
+    # reference result files may be space-delimited — scoring must sniff that
+    for name in ("seq0", "seq1"):
+        rows = np.loadtxt(os.path.join(rdir, f"{name}.txt"), delimiter="\t")
+        np.savetxt(os.path.join(rdir, f"{name}.txt"), rows, fmt="%d",
+                   delimiter=" ")
+    scores = M.evaluate_results_dir(rdir, ds, report=False)
+    assert scores["Precision"] == 100.0
 
 
 def test_dataset_adapters_on_synthetic_layout(tmp_path, monkeypatch):

@@ -66,6 +66,7 @@ def test_uav_adapter_handles_nan(tmp_path, monkeypatch):
 
     ds = uav_dataset()
     assert len(ds) == 1
+    assert ds[0].name == "uav_bike1"  # table name (uavdataset.py:50)
     assert np.isnan(ds[0].ground_truth_rect[1]).all()
     # metric treats NaN rows as invalid for 'uav'
     from uvltrack_tpu.eval.metrics import calc_seq_err_robust
@@ -116,3 +117,27 @@ def test_get_dataset_knows_extra_names():
 
     for name in ("otb", "nfs", "uav", "tc128", "tc128ce", "itb", "avist"):
         assert name in DATASET_BUILDERS
+
+
+def test_uav_split_sequences_use_start_end_tables(tmp_path, monkeypatch):
+    """bird1_1/2/3 share the bird1 clip but start at frames 1/775/1573
+    (uavdataset.py:56-61) — the adapter must index the base clip at the
+    table offsets, not from the clip start."""
+    (tmp_path / "anno" / "UAV123").mkdir(parents=True)
+    for part, n in (("bird1_1", 253), ("bird1_2", 703), ("bird1_3", 865)):
+        np.savetxt(tmp_path / "anno" / "UAV123" / f"{part}.txt",
+                   np.tile([1.0, 2, 3, 4], (n, 1)), delimiter=",", fmt="%.1f")
+    monkeypatch.setenv("UVLTRACK_UAV_PATH", str(tmp_path))
+    reset_env_cache()
+    from uvltrack_tpu.eval.datasets_extra import uav_dataset
+
+    ds = uav_dataset()
+    by_name = {s.name: s for s in ds}
+    assert set(by_name) == {"uav_bird1_1", "uav_bird1_2", "uav_bird1_3"}
+    s2 = by_name["uav_bird1_2"]
+    assert s2.frames[0].endswith("bird1/000775.jpg")
+    assert s2.frames[-1].endswith("bird1/001477.jpg")
+    assert len(s2.frames) == len(s2.ground_truth_rect) == 703
+    s1 = by_name["uav_bird1_1"]
+    assert s1.frames[0].endswith("bird1/000001.jpg")
+    assert len(s1.frames) == 253

@@ -104,3 +104,43 @@ def test_zero_area_roi_is_zero():
     rois = jnp.asarray([[0, 3.0, 3.0, 3.0, 5.0]], jnp.float32)  # zero width
     out = np.asarray(prroi_pool(feat, rois, 2, 2))
     assert np.allclose(out, 0.0)
+
+
+REF_FIXTURES = (
+    "/root/reference/lib/utils/PreciseRoIPooling/tensorflow/tests/"
+    "test_binaries/2_2_0.5"
+)
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_FIXTURES),
+                    reason="reference golden fixtures not on disk")
+def test_golden_fixtures_from_reference():
+    """Forward + both gradients against the vendored CUDA-produced binaries
+    (SURVEY §2.9; PreciseRoIPooling/tensorflow/tests/precise_roi_pooling_ops_test.py:45-77:
+    pooled 2x2, spatial_scale 0.5, loss = sum(outputs), channels_first)."""
+    import os
+
+    load = lambda n: np.load(os.path.join(REF_FIXTURES, n + ".npy"))
+    features_cf = load("features")          # (N, C, H, W)
+    rois = load("rois")                     # (R, 5) [batch, x1, y1, x2, y2]
+    want_out_cf = load("real_outputs")      # (R, C, ph, pw)
+    want_gfeat_cf = load("gradients0")      # (N, C, H, W)
+    want_groi = load("gradients1")          # (R, 5)
+
+    features = jnp.asarray(features_cf.transpose(0, 2, 3, 1))  # NHWC
+
+    @jax.jit
+    def fwd_and_grads(f, r):
+        def loss(f_, r_):
+            return prroi_pool(f_, r_, 2, 2, spatial_scale=0.5).sum()
+
+        out = prroi_pool(f, r, 2, 2, spatial_scale=0.5)
+        g_f, g_r = jax.grad(loss, argnums=(0, 1))(f, r)
+        return out, g_f, g_r
+
+    out, g_feat, g_roi = fwd_and_grads(features, jnp.asarray(rois))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), want_out_cf, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_feat).transpose(0, 3, 1, 2), want_gfeat_cf, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_roi), want_groi, rtol=1e-4, atol=1e-5)

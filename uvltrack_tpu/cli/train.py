@@ -59,6 +59,8 @@ def main(argv=None):
 
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(args.seed))
+    from ..models.convert import load_pretrained
+    variables = load_pretrained(cfg, variables, settings)
 
     mesh = make_mesh(data=int(cfg.TPU.MESH_DATA), model=int(cfg.TPU.MESH_MODEL))
     n_data = mesh.shape["data"]

@@ -108,11 +108,20 @@ class GroundingAndTrackingSampler:
 
     # ------------------------------------------------------------- sampling
     def _sample_visible_ids(self, visible: np.ndarray, num: int,
-                            min_id: int = 0, max_id: Optional[int] = None):
+                            min_id: int = 0, max_id: Optional[int] = None,
+                            allow_invisible: bool = False,
+                            force_invisible: bool = False):
+        """sampler.py:96-127 semantics incl. allow/force_invisible."""
         max_id = len(visible) if max_id is None else max_id
         min_id = max(0, min_id)
         max_id = min(len(visible), max_id)
-        ids = np.flatnonzero(visible[min_id:max_id]) + min_id
+        window = np.asarray(visible[min_id:max_id], bool)
+        if force_invisible:
+            ids = np.flatnonzero(~window) + min_id
+        elif allow_invisible:
+            ids = np.arange(min_id, max_id)
+        else:
+            ids = np.flatnonzero(window) + min_id
         if len(ids) == 0:
             return None
         return list(self.rng.choice(ids, size=num, replace=True))
@@ -128,24 +137,38 @@ class GroundingAndTrackingSampler:
                     return seq_id, info, visible
         return None
 
+    def _gap_list(self):
+        """trident/stark iterate max_gap as a list — one dynamic template per
+        entry (sampler.py:580: `for max_gap in self.max_gap`). A scalar config
+        is promoted to one entry per extra template."""
+        if isinstance(self.max_gap, (list, tuple)):
+            return list(self.max_gap)
+        return [self.max_gap] * max(self.num_template - 1, 0)
+
     def _trident_frames(self, visible: np.ndarray, valid: Optional[np.ndarray]):
-        """'trident'/'stark' sampling (sampler.py:572-621): one anchor template
-        + one dynamic template near the search frame per max_gap entry;
-        'stark' requires valid (not necessarily visible) dynamic frames."""
+        """'trident'/'trident_pro'/'stark' sampling (sampler.py:572-621): one
+        anchor template + one dynamic template near the search frame per
+        max_gap entry. 'trident_pro' lets the dynamic templates be invisible
+        frames (:586-588); 'stark' samples them from the valid (not
+        necessarily visible) pool (:614-615)."""
         pool = valid if (self.frame_sample_mode == "stark" and valid is not None) else visible
+        allow_invisible = self.frame_sample_mode == "trident_pro"
         for _ in range(50):
             t1 = self._sample_visible_ids(visible, 1)
             sid = self._sample_visible_ids(visible, 1)
             if t1 is None or sid is None:
                 return None
-            if t1[0] >= sid[0]:
-                lo, hi = sid[0], sid[0] + self.max_gap
-            else:
-                lo, hi = sid[0] - self.max_gap, sid[0]
-            extra = self._sample_visible_ids(pool, self.num_template - 1, lo, hi) \
-                if self.num_template > 1 else []
-            if extra is not None:
-                return t1 + list(extra), sid * self.num_search
+            extras = []
+            for gap in self._gap_list():
+                if t1[0] >= sid[0]:
+                    lo, hi = sid[0], sid[0] + gap
+                else:
+                    lo, hi = sid[0] - gap, sid[0]
+                f_id = self._sample_visible_ids(pool, 1, lo, hi,
+                                                allow_invisible=allow_invisible)
+                extras.append(None if f_id is None else f_id[0])
+            if None not in extras:
+                return t1 + extras, sid * self.num_search
         return None
 
     def _causal_frames(self, visible: np.ndarray):
@@ -175,24 +198,37 @@ class GroundingAndTrackingSampler:
         while True:
             task = self._roll_task()
             dataset = self._pick_dataset(task)
-            out = None
             if task == 1:
                 out = self._sample_grounding(dataset)
+            elif task == 2:
+                out = self.sample_vl(dataset)
             else:
-                out = self._sample_track(dataset, task)
+                out = self.sample_track(dataset)
             if out is not None:
                 return out
 
     __call__ = sample
 
-    def _tokenize(self, language: Optional[str], use_text: bool):
+    def _tokenize(self, language: Optional[str]):
+        """Tracking samples carry the tokenized caption too — the reference
+        tokenizes for every task (sampler.py:205-216) and gates text by flag
+        inside the model (cat_mask: t_mask = mask * (flag != 0))."""
         nt = self.max_query_len
-        if not use_text or language is None or self.tokenizer is None:
+        if language is None or self.tokenizer is None:
             return np.zeros((nt,), np.int32), np.zeros((nt,), np.int32)
         ids, mask = self.tokenizer.encode_query(language, nt)
         return np.asarray(ids, np.int32), np.asarray(mask, np.int32)
 
-    def _sample_track(self, dataset, task: int) -> Optional[dict]:
+    def sample_track(self, dataset=None) -> Optional[dict]:
+        """Tracking task (flag 0), sampler.py:155-220."""
+        return self._sample_pair(dataset or self._pick_dataset(0), flag=0)
+
+    def sample_vl(self, dataset=None) -> Optional[dict]:
+        """Vision-language task (flag 2), sampler.py:222-289 — same frame
+        sampling as tracking but drawn from the VL-capable dataset pool."""
+        return self._sample_pair(dataset or self._pick_dataset(2), flag=2)
+
+    def _sample_pair(self, dataset, flag: int) -> Optional[dict]:
         picked = self._sample_seq(dataset)
         if picked is None:
             return None
@@ -215,7 +251,7 @@ class GroundingAndTrackingSampler:
             t_frames, t_anno["bbox"], s_frames, s_anno["bbox"], language)
         if sample is None:
             return None
-        return self._finalize(sample, flag=task if task == 2 else 0)
+        return self._finalize(sample, flag=flag)
 
     def _sample_grounding(self, dataset) -> Optional[dict]:
         picked = self._sample_seq(dataset)
@@ -234,8 +270,7 @@ class GroundingAndTrackingSampler:
         return self._finalize(sample, flag=1)
 
     def _finalize(self, sample: dict, flag: int) -> dict:
-        use_text = flag != 0
-        ids, mask = self._tokenize(sample.pop("language"), use_text)
+        ids, mask = self._tokenize(sample.pop("language"))
         n = sample["search_images"].shape[0]
         sample["text"] = np.tile(ids[None], (n, 1))
         sample["text_mask"] = np.tile(mask[None], (n, 1))

@@ -59,22 +59,36 @@ def nfs_dataset() -> SequenceList:
 
 
 def uav_dataset() -> SequenceList:
-    """UAV123: <root>/data_seq/UAV123/<seq>/*.jpg + anno/UAV123/<seq>.txt.
-    NaN rows (object absent) are kept — the metric treats them as invalid."""
+    """UAV123, table-driven like the reference (uavdataset.py:47-295): the
+    123-entry sequence-info table (data_specs/uav123_sequences.json, values
+    extracted from the reference) carries per-sequence start/end frame
+    numbers so the split sequences (bird1_1/2/3 etc.) index into their base
+    clip at the right offsets. NaN annotation rows (object absent) are kept —
+    the metric treats them as invalid."""
+    import json
+
     base = env_settings().uav_path
-    anno_dir = os.path.join(base, "anno", "UAV123")
+    spec = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        os.pardir, "data_specs", "uav123_sequences.json")
+    with open(os.path.normpath(spec)) as f:
+        table = json.load(f)
     seqs = []
-    for anno_path in sorted(glob.glob(os.path.join(anno_dir, "*.txt"))):
-        name = os.path.splitext(os.path.basename(anno_path))[0]
+    for info in table:
+        anno_path = os.path.join(base, info["anno_path"])
+        if not os.path.exists(anno_path):
+            continue
         anno = np.genfromtxt(anno_path, delimiter=",").reshape(-1, 4)
-        # split sequences (e.g. bird1_1) reference the base clip's frames
-        clip = name.split("_")[0] if name[-2] == "_" and name[-1].isdigit() else name
-        fdir = os.path.join(base, "data_seq", "UAV123", clip)
-        frames = _frames_sorted(os.path.join(fdir, "*.jpg"))
+        init_omit = int(info.get("initOmit", 0))
+        start, end, nz, ext = (info["startFrame"], info["endFrame"],
+                               info["nz"], info["ext"])
+        frames = [os.path.join(base, info["path"], f"{i:0{nz}d}.{ext}")
+                  for i in range(start + init_omit, end + 1)]
+        anno = anno[init_omit:]
         n = min(len(frames), len(anno))
         if n == 0:
             continue
-        seqs.append(Sequence(name, frames[:n], "uav", anno[:n]))
+        seqs.append(Sequence(info["name"], frames[:n], "uav", anno[:n],
+                             language=info.get("object_class")))
     return SequenceList(seqs)
 
 

@@ -127,7 +127,10 @@ def evaluate_results_dir(results_dir: str, dataset, report: bool = True):
         if not os.path.isfile(path):
             missing.append(seq.name)
             continue
-        pred = np.loadtxt(path, delimiter="\t" if "\t" in open(path).readline() else ",")
+        # load_text tries ',', tab and space — reference result files may use
+        # any of the three (lib/test/utils/load_text.py semantics)
+        from .datasets import load_text
+        pred = load_text(path)
         curves.append(sequence_curves(pred.reshape(-1, 4), seq.ground_truth_rect,
                                       seq.dataset, seq.target_visible))
     if not curves:

@@ -229,6 +229,78 @@ def convert_mae_vit(state: Dict[str, np.ndarray], params: dict) -> Tuple[dict, L
     return params, [k for k in state if k not in used]
 
 
+def load_bert_archive(path: str) -> Dict[str, np.ndarray]:
+    """Read released-BERT weights from any of the shapes the reference accepts
+    (bert_backbone.py:584-623): a tar.gz archive holding pytorch_model.bin, a
+    directory already containing it, or a bare .bin/.pth state-dict file."""
+    import os
+    import tarfile
+    import tempfile
+
+    weights_name = "pytorch_model.bin"
+    if os.path.isdir(path):
+        return load_torch_file(os.path.join(path, weights_name))
+    if tarfile.is_tarfile(path):
+        with tarfile.open(path, "r:*") as archive, \
+                tempfile.TemporaryDirectory() as tmp:
+            member = next((m for m in archive.getmembers()
+                           if os.path.basename(m.name) == weights_name), None)
+            if member is None:
+                raise FileNotFoundError(f"{weights_name} not in {path}")
+            archive.extract(member, tmp, filter="data")
+            return load_torch_file(os.path.join(tmp, member.name))
+    return load_torch_file(path)
+
+
+def load_pretrained(cfg, variables: dict, settings=None) -> dict:
+    """Apply MAE-ViT + BERT pretrained weights at model construction time,
+    mirroring modality_unified_feature_extractor.py:20-37 (MAE 'model' dict
+    into the ViT, BertModel.from_pretrained for the language branch). Paths
+    resolve relative to <repo>/ like the reference's workspace-relative
+    conventions; missing files are skipped with a warning (the reference
+    would crash — here synthetic/unit runs must work without the archives)."""
+    import os
+    import sys
+
+    if settings is None:
+        from ..eval.environment import env_settings
+        settings = env_settings()
+
+    def resolve(p):
+        if not p:
+            return ""
+        if os.path.isabs(p):
+            return p
+        for base in (settings.repo_dir, settings.pretrained_path):
+            cand = os.path.join(base, p)
+            if os.path.exists(cand):
+                return cand
+        return os.path.join(settings.repo_dir, p)
+
+    params = variables["params"]
+    mae_path = resolve(cfg.MODEL.BACKBONE.PRETRAINED_PATH)
+    if mae_path and os.path.exists(mae_path):
+        params, unused = convert_mae_vit(load_torch_file(mae_path), params)
+        sys.stderr.write(f"loaded MAE ViT from {mae_path} "
+                         f"({len(unused)} unused keys)\n")
+    elif cfg.MODEL.BACKBONE.PRETRAINED_PATH:
+        sys.stderr.write(f"MAE weights not found at {mae_path}; "
+                         "training from random init\n")
+
+    bert_path = resolve(getattr(cfg.MODEL.BACKBONE.LANGUAGE, "PATH", ""))
+    if not (bert_path and os.path.exists(bert_path)):
+        # the reference passes LANGUAGE.TYPE to from_pretrained (a dir path)
+        bert_path = resolve(cfg.MODEL.BACKBONE.LANGUAGE.TYPE)
+    if bert_path and os.path.exists(bert_path):
+        params, unused = convert_bert(load_bert_archive(bert_path), params)
+        sys.stderr.write(f"loaded BERT from {bert_path} "
+                         f"({len(unused)} unused keys)\n")
+    else:
+        sys.stderr.write("BERT archive not found; language branch keeps "
+                         "random init\n")
+    return {**variables, "params": params}
+
+
 def convert_bert(state: Dict[str, np.ndarray], params: dict) -> Tuple[dict, List[str]]:
     """BERT pytorch_model.bin -> bert embeddings + encoder layer params."""
     state = {re.sub(r"\.gamma$", ".weight", re.sub(r"\.beta$", ".bias", k)): v
