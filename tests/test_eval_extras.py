@@ -4,8 +4,6 @@ import zipfile
 import numpy as np
 import pytest
 
-from uvltrack_tpu.data.grounding_aug import (grounding_augment, random_size_crop,
-                                             random_translate_letterbox)
 from uvltrack_tpu.eval.packagers import transform_got10k, transform_trackingnet
 
 
@@ -43,42 +41,6 @@ def test_trackingnet_packager(tmp_path):
         assert not any("time" in n for n in names)
 
 
-def test_random_size_crop_keeps_target():
-    rng = np.random.default_rng(0)
-    im = np.zeros((100, 120, 3), np.uint8)
-    box = np.array([40.0, 30.0, 30.0, 30.0])
-    for _ in range(10):
-        crop, nb = random_size_crop(im, box, rng, min_keep_iou=0.9)
-        kept = nb[2] * nb[3] / (box[2] * box[3])
-        assert kept >= 0.89
-        assert nb[0] >= 0 and nb[1] >= 0
-        assert nb[0] + nb[2] <= crop.shape[1] + 1e-6
-        assert nb[1] + nb[3] <= crop.shape[0] + 1e-6
-
-
-def test_random_translate_letterbox_box_inside():
-    rng = np.random.default_rng(1)
-    im = np.full((60, 120, 3), 200, np.uint8)
-    box = np.array([30.0, 15.0, 40.0, 30.0])
-    canvas, nb, att = random_translate_letterbox(im, box, 128, rng)
-    assert canvas.shape == (128, 128, 3)
-    assert (nb >= 0).all() and (nb[:2] + nb[2:] <= 1.0 + 1e-6).all()
-    # the box region on the canvas is image content, not padding
-    x1 = int(nb[0] * 128) + 1
-    y1 = int(nb[1] * 128) + 1
-    assert att[y1, x1] == 0
-
-
-def test_grounding_augment_end_to_end():
-    rng = np.random.default_rng(2)
-    im = rng.integers(0, 255, size=(90, 160, 3)).astype(np.uint8)
-    box = np.array([50.0, 20.0, 40.0, 40.0])
-    canvas, nb = grounding_augment(im, box, 128, rng)
-    assert canvas.shape == (128, 128, 3)
-    assert (nb[2:] > 0).all()
-    assert (nb >= -1e-6).all() and (nb[:2] + nb[2:] <= 1.0 + 1e-6).all()
-
-
 def test_plot_curves(tmp_path):
     from uvltrack_tpu.eval.metrics import sequence_curves
     from uvltrack_tpu.eval.plots import plot_curves
@@ -89,3 +51,47 @@ def test_plot_curves(tmp_path):
     paths = plot_curves({"mine": good, "other": bad}, str(tmp_path))
     assert len(paths) == 6
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_per_sequence_results_and_filters(tmp_path):
+    """Per-sequence AO table + ao_min/delta_ao filters
+    (plot_results.py:442-505)."""
+    from uvltrack_tpu.eval.data import Sequence, SequenceList
+    from uvltrack_tpu.eval.metrics import per_sequence_results
+
+    anno = np.tile([10.0, 10, 20, 20], (5, 1))
+    ds = SequenceList([Sequence("good", [], "otb99", anno.copy()),
+                       Sequence("bad", [], "otb99", anno.copy())])
+    good_dir = tmp_path / "trk"
+    good_dir.mkdir()
+    np.savetxt(good_dir / "good.txt", anno, delimiter="\t", fmt="%d")
+    np.savetxt(good_dir / "bad.txt", anno + np.array([18.0, 0, 0, 0]),
+               delimiter="\t", fmt="%d")
+    text = per_sequence_results({"mine": str(good_dir)}, ds, report=False)
+    assert "good" in text and "bad" in text and "100.00" in text
+    # ao_min < 50 keeps only the bad sequence
+    text = per_sequence_results({"mine": str(good_dir)}, ds,
+                                {"mode": "ao_min", "threshold": 50.0},
+                                report=False)
+    assert "bad" in text and "good" not in text
+    # delta_ao across two identical trackers filters everything out
+    text = per_sequence_results({"a": str(good_dir), "b": str(good_dir)}, ds,
+                                {"mode": "delta_ao", "threshold": 5.0},
+                                report=False)
+    assert "bad" not in text and "good" not in text
+
+
+def test_plot_got_success(tmp_path):
+    import json
+
+    from uvltrack_tpu.eval.plots import plot_got_success
+
+    curve = list(np.linspace(1.0, 0.0, 101))
+    (tmp_path / "a.json").write_text(json.dumps(
+        {"TrackerA": {"succ_curve": curve, "ao": 0.5}}))
+    (tmp_path / "b.json").write_text(json.dumps(
+        {"TrackerB": {"overall": {"succ_curve": curve, "ao": 0.6}}}))
+    paths = plot_got_success({"A": str(tmp_path / "a.json"),
+                              "B": str(tmp_path / "b.json")},
+                             str(tmp_path / "plots"))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)

@@ -28,6 +28,16 @@ def main(argv=None):
     p.add_argument("--dataset_name", default="otb99")
     p.add_argument("--mode", default=None, help="override TEST.MODE for the report dir")
     p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--per_seq", action="store_true",
+                   help="print the per-sequence AO table "
+                        "(plot_results.py:442 print_per_sequence_results)")
+    p.add_argument("--filter", default=None, metavar="MODE:THRESHOLD",
+                   help="per-seq filter, e.g. ao_min:50, ao_max:30, delta_ao:10")
+    p.add_argument("--got_json", nargs="*", default=None, metavar="NAME=PATH",
+                   help="plot GOT-10k leaderboard json reports "
+                        "(plot_results.py:381 plot_got_success)")
+    p.add_argument("--plot_dir", default=None,
+                   help="output dir for plots (default: the results dir)")
     args = p.parse_args(argv)
 
     from ..config import load_cfg
@@ -50,7 +60,26 @@ def main(argv=None):
     if expected is not None and n < expected:
         print(f"WARNING: incomplete results: {n}/{expected} sequences in {results_dir}")
 
+    if args.got_json:
+        from ..eval.plots import plot_got_success
+
+        files = dict(kv.split("=", 1) for kv in args.got_json)
+        out = plot_got_success(files, args.plot_dir or results_dir)
+        print("wrote " + ", ".join(out))
+        return
+
     dataset = get_dataset(args.dataset_name)
+    if args.per_seq:
+        from ..eval.metrics import per_sequence_results
+
+        criteria = None
+        if args.filter:
+            mode, thr = args.filter.split(":")
+            criteria = {"mode": mode, "threshold": float(thr)}
+        per_sequence_results({f"{args.tracker_name}/{args.tracker_param}":
+                              results_dir}, dataset, criteria)
+        return
+
     scores = evaluate_results_dir(results_dir, dataset)
     print(f"{args.tracker_name}/{args.tracker_param} on {args.dataset_name}: "
           f"AUC={scores['AUC']:.2f} OP50={scores['OP50']:.2f} "

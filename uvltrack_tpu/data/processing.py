@@ -4,24 +4,26 @@ Parity with TrackProcessing (lib/train/data/processing.py:45-309):
 - track_process: jitter the target box, jittered_center_crop to template /
   search, joint photometric+flip transforms, Gaussian cls label per search
   frame, validity checks with resampling handled by the sampler.
-- grounding_process: aspect-preserving letterbox of the full image with
-  phrase-aware augmentation — horizontal flips rewrite "left"<->"right" in
-  the phrase and are banned when other direction words appear
-  (processing.py:187-189,285-291); template is zeros (:297-298).
+- grounding_process: full grounding2 aug chain on the grounding frame (size
+  menus / IoU-crop / color jitter / flip with "left"<->"right" phrase
+  rewrite / random-translate letterbox), jittered center crops for the extra
+  search frames, and the direction-word substitution rule — when the phrase
+  has direction words the grounding frame replaces the search crops
+  (processing.py:285-291); template is zeros (:297-298).
 
 Outputs are frame-major numpy dicts; images NHWC float32 (ImageNet-normalized).
 """
 
 from __future__ import annotations
 
-import re
 from typing import List, Optional
 
 import cv2
 import numpy as np
 
-from .processing_utils import (generate_cls_label_np, grounding_resize_np,
-                               jittered_center_crop)
+from .grounding_aug import (flip_phrase, grounding_resize_train,
+                            has_directions)
+from .processing_utils import generate_cls_label_np, jittered_center_crop
 from .transforms import IMAGENET_MEAN, IMAGENET_STD
 
 DIRECTION_WORDS = ("left", "right", "top", "bottom", "middle")
@@ -29,20 +31,6 @@ DIRECTION_WORDS = ("left", "right", "top", "bottom", "middle")
 
 def _normalize_img(im: np.ndarray) -> np.ndarray:
     return (im.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
-
-
-def has_directions(phrase: str) -> bool:
-    words = set(re.findall(r"[a-z]+", phrase.lower()))
-    return any(w in words for w in DIRECTION_WORDS)
-
-
-def flip_phrase(phrase: str) -> str:
-    """Swap 'left' and 'right' words in a phrase (grounding flip aug)."""
-
-    def swap(m):
-        return "right" if m.group(0) == "left" else "left"
-
-    return re.sub(r"\b(left|right)\b", swap, phrase)
 
 
 class TrackProcessing:
@@ -70,7 +58,6 @@ class TrackProcessing:
         self.brightness_jitter = 0.2
         self.flip_prob = 0.5
         self.gray_prob = 0.05
-        self.vltvg_aug = bool(cfg.TRAIN.VLTVG_AUG)
 
     @property
     def rng(self) -> np.random.Generator:
@@ -151,38 +138,78 @@ class TrackProcessing:
         }
 
     # -------------------------------------------------------------- grounding
-    def grounding_process(self, frames, boxes, language: Optional[str],
-                          n_search: int):
-        """Letterbox each frame as a search image; zero template."""
+    def _att_survives_downsample(self, att: np.ndarray) -> bool:
+        """processing.py:262-274 validity: the attention mask, nearest-
+        downsampled to the feature grid, must keep at least one content
+        cell (att==0). Nearest downsample samples at stride origins."""
+        stride = att.shape[0] // (self.search_size // 16)
+        return not (att[::stride, ::stride] == 1).all()
+
+    def grounding_process(self, grounding_frames, grounding_boxes,
+                          search_frames, search_boxes,
+                          language: Optional[str], n_search: int):
+        """Grounding task sample (processing.py:191-309): the grounding
+        frame goes through the full grounding2 aug chain (size menus,
+        IoU-crop, color jitter, flip with phrase rewrite, random-translate
+        letterbox); the extra search frames get the usual jittered center
+        crop. The final search stack is [grounding | search...] — and when
+        the phrase has direction words the grounding frame SUBSTITUTES the
+        search crops (processing.py:285-291). Template is zeros."""
         phrase = language or "object, thing or stuff"
-        images = self._photometric(list(frames))
-        boxes = [np.asarray(b, np.float64) for b in boxes]
-        # flip only when it can be made phrase-consistent (no top/bottom/middle)
-        words = set(re.findall(r"[a-z]+", phrase.lower()))
-        flip_ok = not any(w in words for w in ("top", "bottom", "middle"))
-        if flip_ok and self.rng.random() < self.flip_prob:
-            images = [im[:, ::-1].copy() for im in images]
-            boxes = [np.array([im.shape[1] - b[0] - b[2], b[1], b[2], b[3]])
-                     for im, b in zip(images, boxes)]
-            phrase = flip_phrase(phrase)
+        has_direction = has_directions(phrase)
 
-        srch, anno = [], []
-        for im, b in zip(images, boxes):
-            if self.vltvg_aug:
-                from .grounding_aug import grounding_augment
+        g_im = np.ascontiguousarray(grounding_frames[0]).astype(np.uint8)
+        g_box = np.asarray(grounding_boxes[0], np.float64)
+        if g_box[2] <= 0 or g_box[3] <= 0:
+            return None
+        canvas, g_norm, att, phrase = grounding_resize_train(
+            g_im, self.search_size, g_box, phrase, self.rng)
+        if g_norm[2] <= 0 or g_norm[3] <= 0 or not self._att_survives_downsample(att):
+            return None
+        # transform['grounding'] = ToTensorAndJitter(0.2) + Normalize
+        factor = self.rng.uniform(max(0.0, 1 - self.brightness_jitter),
+                                  1 + self.brightness_jitter)
+        canvas = np.clip(canvas.astype(np.float32) * factor, 0, 255)
+        g_images = [_normalize_img(canvas)]
+        g_annos = [g_norm]
 
-                padded, nb = grounding_augment(im.astype(np.uint8), b,
-                                               self.search_size, self.rng)
+        s_images, s_annos = [], []
+        if search_frames and not has_direction:
+            for _ in range(10):
+                s_jit = [self._jitter_box(b, self.srch_center_jitter,
+                                          self.srch_scale_jitter)
+                         for b in search_boxes]
+                if all(b[2] > 0 and b[3] > 0 for b in s_jit):
+                    break
             else:
-                padded, nb, _ = grounding_resize_np(im.astype(np.uint8),
-                                                    self.search_size, b)
-            if nb[2] <= 0 or nb[3] <= 0:
                 return None
-            srch.append(_normalize_img(padded))
-            anno.append(nb)
-        while len(srch) < n_search:
-            srch.append(srch[-1].copy())
-            anno.append(anno[-1].copy())
+            try:
+                crops, norms, _ = jittered_center_crop(
+                    search_frames, s_jit, search_boxes,
+                    self.search_factor, self.search_size)
+            except ValueError:
+                return None
+            for b in norms:
+                iw = min(b[0] + b[2], 1.0) - max(b[0], 0.0)
+                ih = min(b[1] + b[3], 1.0) - max(b[1], 0.0)
+                if iw <= 0 or ih <= 0:
+                    return None
+            imgs = self._photometric(crops)
+            boxes = [np.asarray(b, np.float64) for b in norms]
+            if self.rng.random() < self.flip_prob:
+                # per-stream flip (RandomHorizontalFlip_Norm) — phrase is NOT
+                # rewritten for these crops in the reference either
+                imgs = [im[:, ::-1].copy() for im in imgs]
+                boxes = [np.array([1.0 - b[0] - b[2], b[1], b[2], b[3]])
+                         for b in boxes]
+            s_images = [_normalize_img(im) for im in imgs]
+            s_annos = boxes
+
+        srch = g_images + s_images
+        anno = g_annos + s_annos
+        while len(srch) < n_search:  # direction words / image datasets:
+            srch.append(srch[0].copy())  # the grounding frame substitutes
+            anno.append(anno[0].copy())
         srch_imgs = np.stack(srch[:n_search], 0)
         srch_boxes = np.stack(anno[:n_search], 0)
         cls = np.stack([generate_cls_label_np(b, self.search_size // 16,

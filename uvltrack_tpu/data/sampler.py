@@ -254,17 +254,46 @@ class GroundingAndTrackingSampler:
         return self._finalize(sample, flag=flag)
 
     def _sample_grounding(self, dataset) -> Optional[dict]:
+        """Grounding task (sampler.py:291-351): one grounding frame from the
+        first ~30 frames of the sequence, plus num_search-1 later search
+        frames (image datasets repeat the single image)."""
         picked = self._sample_seq(dataset)
         if picked is None:
             return None
         seq_id, info, visible = picked
-        ids = self._sample_visible_ids(visible, 1)
-        if ids is None:
-            return None
-        frames, anno, meta = dataset.get_frames(seq_id, ids, info)
+        gap = self.max_gap if not isinstance(self.max_gap, (list, tuple)) \
+            else max(self.max_gap)
+        if dataset.is_video_sequence():
+            max_n = min(30, len(visible))
+            g_ids = self._sample_visible_ids(
+                visible, 1, 0, max(max_n - self.num_search + 1, 1))
+            if g_ids is None:
+                return None
+            s_ids = []
+            if self.num_search > 1:
+                grow = 0
+                while True:
+                    s_ids = self._sample_visible_ids(
+                        visible, self.num_search - 1,
+                        g_ids[0] + 1, g_ids[0] + gap + grow)
+                    if s_ids is not None:
+                        break
+                    grow += 5
+                    if grow > 10 * gap:
+                        s_ids = [g_ids[0]] * (self.num_search - 1)
+                        break
+        else:
+            g_ids = [0]
+            s_ids = [0] * (self.num_search - 1)
+        g_frames, g_anno, meta = dataset.get_frames(seq_id, g_ids, info)
+        if s_ids:
+            s_frames, s_anno, _ = dataset.get_frames(seq_id, s_ids, info)
+        else:
+            s_frames, s_anno = [], {"bbox": []}
         language = meta.get("language") or DEFAULT_CAPTION
         sample = self.processing.grounding_process(
-            frames, anno["bbox"], language, self.num_search)
+            g_frames, g_anno["bbox"], s_frames, s_anno["bbox"],
+            language, self.num_search)
         if sample is None:
             return None
         return self._finalize(sample, flag=1)

@@ -143,3 +143,66 @@ def evaluate_results_dir(results_dir: str, dataset, report: bool = True):
             f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
             for k, v in scores.items()))
     return scores
+
+
+def generate_formatted_report(row_labels, scores: Dict[str, np.ndarray],
+                              table_name: str = "") -> str:
+    """Fixed-width table like plot_results.py:294-315 — one row per label,
+    one column per score array."""
+    name_width = max([len(d) for d in row_labels] + [len(table_name)]) + 5
+    score_widths = [max(10, len(k) + 3) for k in scores]
+    text = "\n{label: <{width}} |".format(label=table_name, width=name_width)
+    for k, w in zip(scores, score_widths):
+        text += " {s: <{width}} |".format(s=k, width=w)
+    text += "\n"
+    for i, label in enumerate(row_labels):
+        text += "{label: <{width}} |".format(label=label, width=name_width)
+        for (_, vals), w in zip(scores.items(), score_widths):
+            text += " {score: <{width}} |".format(
+                score="{:0.2f}".format(float(vals[i])), width=w)
+        text += "\n"
+    return text
+
+
+def per_sequence_results(results_dirs: Dict[str, str], dataset,
+                         filter_criteria: Optional[dict] = None,
+                         report: bool = True) -> str:
+    """Per-sequence average-overlap table across trackers
+    (plot_results.py:442-505). filter_criteria: {'mode': 'ao_min'|'ao_max'|
+    'delta_ao', 'threshold': float} selects sequences where at least one /
+    every / tracker-spread of AO is below/above the threshold."""
+    from .datasets import load_text
+
+    names = list(results_dirs)
+    seq_names, rows = [], []
+    for seq in dataset:
+        ao = []
+        for name in names:
+            path = os.path.join(results_dirs[name], f"{seq.name}.txt")
+            if not os.path.isfile(path):
+                break
+            pred = load_text(path).reshape(-1, 4)
+            ao.append(sequence_curves(pred, seq.ground_truth_rect, seq.dataset,
+                                      seq.target_visible)["avg_overlap"] * 100.0)
+        else:
+            seq_names.append(seq.name)
+            rows.append(ao)
+    ao_all = np.asarray(rows).reshape(-1, len(names))
+    keep = np.ones(len(seq_names), bool)
+    if filter_criteria is not None:
+        thr = float(filter_criteria["threshold"])
+        mode = filter_criteria["mode"]
+        if mode == "ao_min":
+            keep = ao_all.min(axis=1) < thr
+        elif mode == "ao_max":
+            keep = ao_all.max(axis=1) < thr
+        elif mode == "delta_ao":
+            keep = (ao_all.max(axis=1) - ao_all.min(axis=1)) > thr
+        else:
+            raise ValueError(f"unknown filter mode {mode}")
+    labels = [n for n, k in zip(seq_names, keep) if k]
+    scores = {name: ao_all[keep][:, j] for j, name in enumerate(names)}
+    text = generate_formatted_report(labels, scores, table_name="Sequence")
+    if report:
+        print(text)
+    return text
