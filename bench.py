@@ -1,12 +1,21 @@
-"""Benchmark: tracked FPS/chip for UVLTrack-B on the real TPU.
+"""Benchmark: tracked FPS/chip for UVLTrack on the real TPU.
 
 Measures the FULL tracking step (device-side crop/resize/normalize + backbone
-+ head + Hann/contrastive decode + map-back + state update) on a 720p frame,
++ head + Hann/contrastive decode + map-back + state update) on 720p frames,
 i.e. the per-frame latency a user sees — a stricter measurement than the
 reference's model-only profile (tracking/profile_model.py:30-47, ~60 FPS on
-an RTX 3090 for UVLTrack-B).
+an RTX 3090 for UVLTrack-B, ~34 FPS for UVLTrack-L).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: the primary metric (UVLTrack-B tracked FPS/chip,
+deferred readback) plus an "extra" dict with the other measured lines:
+  - sync per-frame latency (includes one host readback per frame)
+  - upload-included pipelined FPS (per-frame H2D device_put included,
+    chunk-double-buffered) + the measured upload/compute overlap factor
+  - UVLTrack-L tracked FPS/chip (vs the 34 FPS 3090 baseline)
+  - 8-stream UVLTrack-L lockstep aggregate FPS (BASELINE.json config 5)
+
+Extras run under a time budget (UVLTRACK_BENCH_BUDGET_S, default 900s) and
+each is fault-isolated, so the primary metric always prints.
 """
 
 from __future__ import annotations
@@ -21,111 +30,247 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BASELINE_FPS = 60.0  # UVLTrack-B on RTX 3090 (reference README.md:130)
+BASELINE_FPS_B = 60.0  # UVLTrack-B on RTX 3090 (reference README.md:130)
+BASELINE_FPS_L = 34.0  # UVLTrack-L on RTX 3090 (reference README.md:133)
+T0 = time.perf_counter()
+
+
+def log(msg):
+    sys.stderr.write(msg + "\n")
+    sys.stderr.flush()
+
+
+def elapsed():
+    return time.perf_counter() - T0
+
+
+def fence(x):
+    """block_until_ready can return early through the sandbox tunnel; a tiny
+    readback is the only reliable fence (DEVNOTES)."""
+    np.asarray(jax_slice(x))
+
+
+def jax_slice(x):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return leaf.reshape(-1)[:1]
+
+
+def make_tracker(config: str):
+    import jax
+
+    from uvltrack_tpu.config import load_cfg
+    from uvltrack_tpu.models.uvltrack import build_model, init_model
+    from uvltrack_tpu.track.tracker import Tracker
+
+    cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
+    cfg.TEST.MODE = "BBOX"
+    # default: cfg.TPU.USE_PALLAS_ATTENTION=True -> the qkv-layout-native
+    # Pallas kernel (beats XLA end-to-end, TPU_DESIGN.md "Attention");
+    # UVLTRACK_BENCH_PALLAS=0 forces XLA, =1 forces Pallas
+    force = os.environ.get("UVLTRACK_BENCH_PALLAS")
+    if force is not None:
+        cfg.TPU.USE_PALLAS_ATTENTION = force == "1"
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    return cfg, model, variables, Tracker(cfg, model, variables, tokenizer=None)
+
+
+def frame_pool(n=8, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    frames_np = [rng.integers(0, 255, size=(720, 1280, 3)).astype(np.uint8)
+                 for _ in range(n)]
+    pool = [jax.device_put(jnp.asarray(f)) for f in frames_np]
+    fence(pool[-1])
+    return frames_np, pool
+
+
+def bench_single(tracker, pool, warmup, iters, repeats=3):
+    """Deferred-readback tracked FPS + synchronous per-frame latency."""
+    frame0 = np.asarray(pool[0])
+    tracker.initialize(frame0, {"init_bbox": [600.0, 300.0, 120.0, 160.0]})
+    for i in range(warmup):
+        tracker.track(pool[i % len(pool)])
+    lat = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        tracker.track(pool[i % len(pool)])
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+
+    tracker.track_many([pool[i % len(pool)] for i in range(32)])  # scan warmup
+    walls = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = tracker.track_many([pool[i % len(pool)] for i in range(iters)])
+        walls.append(time.perf_counter() - t0)
+    assert out.shape == (iters, 5) and np.isfinite(out).all()
+    fps = iters / min(walls)
+    return fps, lat
+
+
+def bench_upload_overlap(tracker, frames_np, iters):
+    """Pipelined tracking INCLUDING per-frame H2D upload: device_put(frame
+    i+1) is issued while the chained step for frame i computes (jax async
+    dispatch double-buffers them). Returns (fps_upload_included,
+    overlap_factor, upload_s_per_frame) where overlap_factor =
+    (upload_only + compute_only) / pipelined — > 1 proves overlap (≈2 at
+    perfect overlap of equal phases; ≈1 means serial)."""
+    import jax
+    import jax.numpy as jnp
+
+    frames = [frames_np[i % len(frames_np)] for i in range(iters)]
+    # upload-only wall
+    t0 = time.perf_counter()
+    devs = [jax.device_put(jnp.asarray(f)) for f in frames]
+    fence(devs[-1])
+    t_upload = time.perf_counter() - t0
+    # compute-only wall (pre-uploaded, chained single-frame steps)
+    for d in devs[:4]:
+        packed = tracker.track_async(d)  # warm the single-step path
+    fence(packed)
+    t0 = time.perf_counter()
+    for d in devs:
+        packed = tracker.track_async(d)
+    fence(packed)
+    t_compute = time.perf_counter() - t0
+    del devs
+    # pipelined: upload + step per frame, reads deferred to the end
+    t0 = time.perf_counter()
+    for f in frames:
+        packed = tracker.track_async(jax.device_put(jnp.asarray(f)))
+    out = np.asarray(packed)
+    t_pipe = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+    return iters / t_pipe, (t_upload + t_compute) / t_pipe, t_upload / iters
+
+
+def bench_multistream(config: str, streams: int, iters: int):
+    """Lockstep multi-stream aggregate throughput (BASELINE.json config 5:
+    8 parallel UVLTrack-L streams). Deferred readback: step_async chains
+    device-resident state; one fence at the end."""
+    import jax
+    import jax.numpy as jnp
+
+    from uvltrack_tpu.config import load_cfg
+    from uvltrack_tpu.models.uvltrack import build_model, init_model
+    from uvltrack_tpu.track.batch import BatchTracker
+
+    cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
+    cfg.TEST.MODE = "BBOX"
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    bt = BatchTracker(cfg, model, variables, num_streams=streams)
+
+    rng = np.random.default_rng(1)
+    first = [rng.integers(0, 255, (720, 1280, 3)).astype(np.uint8)
+             for _ in range(streams)]
+    boxes = np.tile([600.0, 300.0, 120.0, 160.0], (streams, 1))
+    boxes[:, 0] += rng.integers(-50, 50, streams)
+    bt.initialize(first, boxes)
+    pool = [jax.device_put(jnp.stack([jnp.asarray(f) for f in first]))]
+    for _ in range(3):
+        pool.append(jax.device_put(pool[0] + np.uint8(1)))
+    fence(pool[-1])
+
+    for i in range(8):  # warmup/compile
+        packed = bt.step_async(pool[i % len(pool)])
+    fence(packed)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        packed = bt.step_async(pool[i % len(pool)])
+    out = np.asarray(packed)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+    return streams * iters / wall
 
 
 def main():
     import jax
 
-    from uvltrack_tpu.config import load_cfg
-    from uvltrack_tpu.models.uvltrack import build_model, init_model
     from uvltrack_tpu.ops import attention
-    from uvltrack_tpu.track.tracker import Tracker
 
     platform = jax.devices()[0].platform
-    # the head-packed Pallas kernel beats XLA op-level at every model shape
-    # with N>=128 (scripts/bench_attention.py: -9% at B=1/N=361, -25% at
-    # B=16), but the (B,H,N,D) layout materialization around pallas_call
-    # still loses end-to-end at bs=1 — flip with UVLTRACK_BENCH_PALLAS=1
-    if platform == "tpu" and os.environ.get("UVLTRACK_BENCH_PALLAS", "0") == "1":
-        attention.set_backend("pallas")
-
-    config = os.environ.get("UVLTRACK_BENCH_CONFIG", "baseline_base")
-    cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
-    cfg.TEST.MODE = "BBOX"
-    model = build_model(cfg)
-    variables = init_model(model, cfg, jax.random.PRNGKey(0))
-    tracker = Tracker(cfg, model, variables, tokenizer=None)
-
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(0)
-    frame = rng.integers(0, 255, size=(720, 1280, 3)).astype(np.uint8)
-    # Pre-uploaded frame pool: frame upload is a ~1ms PCIe DMA on a real TPU
-    # VM and overlaps compute in a double-buffered pipeline; this sandbox
-    # reaches the chip through a ~14MB/s network tunnel, so uploads are
-    # excluded from the per-frame latency (one mandatory host sync per frame
-    # — reading the box — is still included).
-    pool = [jax.device_put(jnp.asarray(
-        rng.integers(0, 255, size=(720, 1280, 3)).astype(np.uint8)))
-        for _ in range(8)]
-
-    def run_one(i):
-        return tracker.track(pool[i % len(pool)])
-
-    def setup():
-        tracker.initialize(frame, {"init_bbox": [600.0, 300.0, 120.0, 160.0]})
-
-    def fallback_to_xla(e):
-        sys.stderr.write(f"pallas path failed ({e}); falling back to XLA attention\n")
-        attention.set_backend("xla")
-        tracker.jt._step_cache.clear()
-        tracker.jt._init_cache.clear()
-        setup()
-
+    budget = float(os.environ.get("UVLTRACK_BENCH_BUDGET_S", "900"))
     warmup = int(os.environ.get("UVLTRACK_BENCH_WARMUP", "20"))
     iters = int(os.environ.get("UVLTRACK_BENCH_ITERS", "192"))  # 6 x chunk=32
+    config = os.environ.get("UVLTRACK_BENCH_CONFIG", "baseline_base")
 
-    setup()
+    frames_np, pool = frame_pool()
+    extra = {}
+
+    # ---------------------------------------------------------- primary (B)
+    cfg, model, variables, tracker = make_tracker(config)
     try:
-        for i in range(warmup):
-            run_one(i)
+        fps_b, lat = bench_single(tracker, pool, warmup, iters)
     except Exception as e:  # pallas kernel may be unsupported on this runtime
         if attention.get_backend() == "pallas":
-            fallback_to_xla(e)
-            for i in range(warmup):
-                run_one(i)
+            log(f"pallas path failed ({e}); falling back to XLA attention")
+            attention.set_backend("xla")
+            tracker.jt._step_cache.clear()
+            tracker.jt._init_cache.clear()
+            fps_b, lat = bench_single(tracker, pool, warmup, iters)
         else:
             raise
+    extra["sync_fps"] = round(1.0 / lat.mean(), 2)
+    extra["sync_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 3)
+    extra["sync_p90_ms"] = round(float(np.percentile(lat, 90)) * 1e3, 3)
+    log(f"[{elapsed():.0f}s] B deferred fps={fps_b:.1f} "
+        f"sync p50={extra['sync_p50_ms']}ms")
 
-    # blocking per-frame latency (includes one host readback per frame —
-    # through this sandbox's network tunnel that readback alone is ~13-27ms,
-    # on a real TPU VM it is <1ms)
-    lat = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        run_one(i)
-        lat.append(time.perf_counter() - t0)
-    lat = np.asarray(lat)
-    p50 = float(np.percentile(lat, 50))
+    # -------------------------------------------- extras, budget-bounded
+    def run_extra(name, fn):
+        if elapsed() > budget:
+            log(f"[{elapsed():.0f}s] budget exhausted; skipping {name}")
+            return
+        try:
+            fn()
+        except Exception as e:
+            log(f"extra '{name}' failed: {type(e).__name__}: {e}")
 
-    # tracked throughput with deferred readback: sequentially-dependent
-    # tracking steps chained through device-resident state, results read after
-    # the chain completes — the per-frame device time of online tracking.
-    # Best of 3 repetitions: the sandbox tunnel adds large run-to-run jitter
-    # that has nothing to do with the chip.
-    tracker.track_many([pool[i % len(pool)] for i in range(32)])  # scan warmup
-    walls = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = tracker.track_many([pool[i % len(pool)] for i in range(iters)])
-        walls.append(time.perf_counter() - t0)
-    assert out.shape == (iters, 5) and np.isfinite(out).all()
-    wall = min(walls)
-    fps = iters / wall
+    def upload():
+        fps_up, overlap, up_ms = bench_upload_overlap(tracker, frames_np, iters)
+        extra["fps_upload_included"] = round(fps_up, 2)
+        extra["upload_overlap_factor"] = round(overlap, 2)
+        extra["upload_ms_per_frame"] = round(up_ms * 1e3, 2)
+        log(f"[{elapsed():.0f}s] upload-included fps={fps_up:.1f} "
+            f"overlap x{overlap:.2f} (upload {up_ms * 1e3:.1f}ms/frame; "
+            "~1ms PCIe on a TPU VM, network-tunneled here)")
 
-    sys.stderr.write(
-        f"platform={platform} attn={attention.get_backend()} "
-        f"sync: mean={lat.mean()*1e3:.2f}ms p50={p50*1e3:.2f}ms "
-        f"p90={np.percentile(lat,90)*1e3:.2f}ms fps={1/lat.mean():.1f} | "
-        f"deferred-readback: {wall/iters*1e3:.2f}ms/frame fps={fps:.1f}\n")
+    def large():
+        _, _, _, trk_l = make_tracker("baseline_large")
+        fps_l, lat_l = bench_single(trk_l, pool, max(8, warmup // 2),
+                                    max(64, iters // 3), repeats=2)
+        extra["tracked_fps_per_chip_uvltrack_l"] = round(fps_l, 2)
+        extra["uvltrack_l_vs_baseline"] = round(fps_l / BASELINE_FPS_L, 3)
+        log(f"[{elapsed():.0f}s] L deferred fps={fps_l:.1f} "
+            f"({fps_l / BASELINE_FPS_L:.1f}x 3090)")
+
+    def multistream():
+        agg = bench_multistream("baseline_large", streams=8, iters=64)
+        extra["multistream8_l_aggregate_fps"] = round(agg, 2)
+        log(f"[{elapsed():.0f}s] 8-stream L aggregate fps={agg:.1f}")
+
+    if config == "baseline_base" and os.environ.get(
+            "UVLTRACK_BENCH_EXTRAS", "1") == "1":
+        run_extra("upload_overlap", upload)
+        run_extra("uvltrack_l", large)
+        run_extra("multistream8_l", multistream)
+
     suffix = "b" if config == "baseline_base" else "l"
-    baseline = BASELINE_FPS if suffix == "b" else 34.0  # README.md:130,133
+    baseline = BASELINE_FPS_B if suffix == "b" else BASELINE_FPS_L
+    log(f"platform={platform} attn={attention.get_backend()} "
+        f"total {elapsed():.0f}s")
     print(json.dumps({
         "metric": f"tracked_fps_per_chip_uvltrack_{suffix}",
-        "value": round(fps, 2),
+        "value": round(fps_b, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / baseline, 3),
+        "vs_baseline": round(fps_b / baseline, 3),
+        "extra": extra,
     }))
 
 

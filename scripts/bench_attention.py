@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from uvltrack_tpu.ops.attention import xla_attention
-from uvltrack_tpu.ops.pallas_attention import fused_attention
+from uvltrack_tpu.ops.pallas_attention import fused_attention, fused_attention_qkv
 
 H, D = 12, 64
 ITERS = 2000
@@ -80,6 +80,40 @@ def main():
         t_x = timed("xla", chain(lambda qq, kk, vv, _: xla_attention(qq, kk, vv, kb4)), q, k, v, kb2)
         t_p = timed("pallas fused", chain(fused_attention), q, k, v, kb2)
         print(f"  -> pallas/xla = {t_p / t_x:.3f}")
+
+        # layout-native variant: in/out in the block's natural (B, N, F)
+        # layout — this is the path VitBlock actually calls. The XLA
+        # comparison includes the reshape/transposes a (B,H,N,D)-only kernel
+        # forces XLA to materialize around an opaque pallas_call.
+        qkv = jnp.concatenate([
+            q.transpose(0, 2, 1, 3).reshape(b, n, H * D),
+            k.transpose(0, 2, 1, 3).reshape(b, n, H * D),
+            v.transpose(0, 2, 1, 3).reshape(b, n, H * D)], axis=-1)
+
+        def xla_from_qkv(qq, *_):
+            parts = qq.reshape(b, n, 3, H, D).transpose(2, 0, 3, 1, 4)
+            o = xla_attention(parts[0], parts[1], parts[2], kb4)
+            return o.transpose(0, 2, 1, 3).reshape(b, n, H * D)
+
+        def chain_qkv(op):
+            @jax.jit
+            def run(qq, kb):
+                def body(_, cur):
+                    o = op(cur)
+                    return jnp.concatenate([o, o, o], -1).astype(cur.dtype)
+
+                return jax.lax.fori_loop(0, ITERS, body, qq)
+
+            return run
+
+        ref_q = np.asarray(xla_from_qkv(qkv), np.float32)
+        out_q = np.asarray(fused_attention_qkv(qkv, kb2, H), np.float32)
+        errq = np.abs(out_q - ref_q).max()
+        assert errq < 0.05, errq
+        t_xq = timed("xla (qkv layout)", chain_qkv(xla_from_qkv), qkv, kb2)
+        t_pq = timed("pallas qkv-native", chain_qkv(
+            lambda qq: fused_attention_qkv(qq, kb2, H)), qkv, kb2)
+        print(f"  -> qkv-native pallas/xla = {t_pq / t_xq:.3f}")
 
 
 if __name__ == "__main__":

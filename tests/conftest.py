@@ -18,4 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 # (The env var is not picked up by this jax build, so set the config flag.)
 import jax  # noqa: E402
 
+# The sandbox's sitecustomize registers the axon (remote TPU) PJRT plugin at
+# interpreter start, BEFORE this file runs — with it registered, the
+# JAX_PLATFORMS env above is ignored and "CPU" tests silently dispatch every
+# op over the TPU tunnel. The config API wins over the pre-registered plugin
+# as long as no backend has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, not the TPU tunnel")
+assert len(jax.devices()) == 8
+
 jax.config.update("jax_default_matmul_precision", "highest")

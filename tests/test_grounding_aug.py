@@ -236,3 +236,26 @@ def test_grounding_process_flip_rewrites_language():
         if out is not None:
             seen.add(out["language"])
     assert seen == {"cat on the left", "cat on the right"}
+
+
+def test_grounding_test_mode_plain_letterbox():
+    """Validation grounding (mode='grounding_test', sampler.py:496-522):
+    frame [0], plain letterbox, no flip/crop — deterministic geometry."""
+    from test_data_pipeline import FakeTok, FakeVideoDataset, small_cfg
+    from uvltrack_tpu.data.processing import TrackProcessing
+    from uvltrack_tpu.data.sampler import GroundingAndTrackingSampler
+
+    cfg = small_cfg()
+    proc = TrackProcessing(cfg, rng=np.random.default_rng(0))
+    ds = FakeVideoDataset()
+    s = GroundingAndTrackingSampler(
+        [ds], [1.0], samples_per_epoch=50, max_gap=10, processing=proc,
+        num_search_frames=2, mode="grounding_test", tokenizer=FakeTok(),
+        max_query_len=12, seed=1)
+    assert len(s) == ds.get_num_sequences()
+    out = s.sample()
+    assert int(out["flag"]) == 1
+    assert np.allclose(out["template_images"], 0)
+    # both search frames are the SAME letterboxed grounding frame
+    assert np.allclose(out["search_images"][0], out["search_images"][1])
+    assert np.allclose(out["search_anno"][0], out["search_anno"][1])

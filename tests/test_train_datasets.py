@@ -146,3 +146,82 @@ def test_refcocog_adapter(tmp_path):
     assert ds.is_grounding_sequence() and not ds.is_tracking_sequence()
     info = ds.get_sequence_info(0)
     assert np.allclose(info["bbox"][0], [5, 6, 20, 10])
+
+
+def test_object365_adapter(tmp_path):
+    """object365.py layout: imgs/objects365_v{1,2}_%08d.jpg +
+    zhiyuan_objv2_train.json."""
+    from uvltrack_tpu.data.datasets.image_datasets import Object365
+
+    (tmp_path / "imgs").mkdir()
+    data = {
+        "categories": [{"id": 3, "name": "Bicycle"}],
+        "annotations": [
+            {"id": 1, "image_id": 7, "category_id": 3, "bbox": [5, 6, 30, 20]},
+            {"id": 2, "image_id": 9, "category_id": 3, "bbox": [1, 2, 10, 10]},
+        ],
+    }
+    with open(tmp_path / "zhiyuan_objv2_train.json", "w") as f:
+        json.dump(data, f)
+    _img(tmp_path / "imgs" / "objects365_v1_00000007.jpg")
+    _img(tmp_path / "imgs" / "objects365_v2_00000009.jpg")  # v2 fallback
+    ds = Object365(str(tmp_path))
+    assert ds.get_num_sequences() == 2
+    assert not ds.is_video_sequence() and ds.is_tracking_sequence()
+    assert not ds.is_grounding_sequence()
+    info = ds.get_sequence_info(0)
+    assert np.allclose(info["bbox"][0], [5, 6, 30, 20])
+    frames, annos, meta = ds.get_frames(0, [0, 0], info)
+    assert len(frames) == 2
+    assert meta["language"] == "the bicycle in the view"
+    frames, _, _ = ds.get_frames(1, [0], None)  # exercises the v2 path
+    assert frames[0].shape[2] == 3
+
+
+def test_visualgenome_adapter(tmp_path):
+    """visualgenome.py layout: VG_100K/<image_id>.jpg +
+    region_descriptions_new.json."""
+    from uvltrack_tpu.data.datasets.image_datasets import VisualGenome
+
+    (tmp_path / "VG_100K").mkdir()
+    regions = [{"image_id": 11, "x": 4, "y": 8, "width": 16, "height": 24,
+                "phrase": "A man on the LEFT"}]
+    with open(tmp_path / "region_descriptions_new.json", "w") as f:
+        json.dump(regions, f)
+    _img(tmp_path / "VG_100K" / "11.jpg")
+    ds = VisualGenome(str(tmp_path))
+    assert ds.get_num_sequences() == 1
+    assert ds.is_grounding_sequence() and not ds.is_video_sequence()
+    info = ds.get_sequence_info(0)
+    assert np.allclose(info["bbox"][0], [4, 8, 16, 24])
+    _, _, meta = ds.get_frames(0, [0], info)
+    assert meta["language"] == "a man on the left"
+
+
+def test_webuav_adapter(tmp_path):
+    """webuav.py layout: train/Train/<seq>/{groundtruth_rect.txt, absent.txt,
+    img/*} + language/Language/Train/<seq>/language.txt."""
+    from uvltrack_tpu.data.datasets.video_datasets import WebUAV
+
+    seq = tmp_path / "train" / "Train" / "uav001"
+    (seq / "img").mkdir(parents=True)
+    np.savetxt(seq / "groundtruth_rect.txt",
+               np.array([[10, 20, 30, 40], [11, 21, 31, 41], [0, 0, 0, 0]]),
+               delimiter=",", fmt="%d")
+    (seq / "absent.txt").write_text("0,1,0")
+    for i in range(3):
+        _img(seq / "img" / f"{i:06d}.jpg")
+    lang = tmp_path / "language" / "Language" / "Train" / "uav001"
+    lang.mkdir(parents=True)
+    (lang / "language.txt").write_text("A Drone Flying Low\n")
+    ds = WebUAV(str(tmp_path))
+    assert ds.get_num_sequences() == 1
+    assert (ds.is_tracking_sequence() and ds.is_grounding_sequence()
+            and ds.is_vl_sequence() and ds.is_video_sequence())
+    info = ds.get_sequence_info(0)
+    # frame1 absent, frame2 zero-size: only frame0 visible
+    assert info["visible"].tolist() == [True, False, False]
+    assert info["valid"].tolist() == [True, True, False]
+    frames, annos, meta = ds.get_frames(0, [0, 1], info)
+    assert len(frames) == 2 and np.allclose(annos["bbox"][1], [11, 21, 31, 41])
+    assert meta["language"] == "a drone flying low"

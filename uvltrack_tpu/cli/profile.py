@@ -28,7 +28,10 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=1000)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--trace_dir", default=None)
-    p.add_argument("--pallas", action="store_true", help="use the Pallas attention kernel")
+    p.add_argument("--pallas", action="store_true",
+                   help="force the Pallas attention kernel (cfg default on TPU)")
+    p.add_argument("--xla", action="store_true",
+                   help="force the XLA einsum attention backend")
     args = p.parse_args(argv)
 
     import jax
@@ -37,14 +40,14 @@ def main(argv=None):
     from ..config import load_cfg
     from ..eval.environment import env_settings
     from ..models.uvltrack import UVLTrack, build_model, init_model
-    from ..ops import attention
-
-    if args.pallas:
-        attention.set_backend("pallas")
-
     settings = env_settings()
     cfg = load_cfg(os.path.join(settings.repo_dir, "experiments", args.script,
                                 f"{args.config}.yaml"))
+    # Pallas is the cfg default on TPU; --xla forces the einsum backend
+    if args.pallas:
+        cfg.TPU.USE_PALLAS_ATTENTION = True
+    if args.xla:
+        cfg.TPU.USE_PALLAS_ATTENTION = False
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(0))
 

@@ -47,6 +47,18 @@ def names2datasets(names: List[str]) -> List:
             out.append(RefCocoSeq(s.coco_path, split="val"))
         elif name == "VID":
             out.append(ImagenetVID(s.imagenet_path))
+        elif name == "Object365":
+            from .datasets.image_datasets import Object365
+
+            out.append(Object365(s.object365_path))
+        elif name == "VisualGenome":
+            from .datasets.image_datasets import VisualGenome
+
+            out.append(VisualGenome(s.visualgenome_path))
+        elif name == "WEBUAV":
+            from .datasets.video_datasets import WebUAV
+
+            out.append(WebUAV(s.webuav_path))
         elif name.endswith("_lmdb"):
             out.append(_lmdb_dataset(name, s))
         else:

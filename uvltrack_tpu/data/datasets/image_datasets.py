@@ -132,3 +132,87 @@ class RefCocoSeq(BaseVideoDataset):
         anno = anno or self.get_sequence_info(seq_id)
         frame_annos = {k: [v[0] for _ in frame_ids] for k, v in anno.items()}
         return frames, frame_annos, {"language": self.get_language(seq_id)}
+
+
+class Object365(BaseVideoDataset):
+    """Objects365 detection boxes as 1-frame tracking sequences
+    (lib/train/dataset/object365.py): <root>/{imgs/objects365_v{1,2}_%08d.jpg,
+    zhiyuan_objv2_train.json}. Caption is 'the <class> in the view'
+    (utils.py::generate_sentence); tracking-capable only, like the
+    reference (is_grounding_sequence False)."""
+
+    def __init__(self, root: str, split: str = "train", image_loader=None):
+        from .base import opencv_loader
+
+        super().__init__("object365", root, image_loader or opencv_loader)
+        self.img_dir = os.path.join(root, "imgs")
+        with open(os.path.join(root, "zhiyuan_objv2_train.json")) as f:
+            data = json.load(f)
+        self.annotations = data["annotations"]
+        self.id2class = {c["id"]: c["name"] for c in data.get("categories", [])}
+
+    def is_video_sequence(self):
+        return False
+
+    def get_num_sequences(self):
+        return len(self.annotations)
+
+    def get_sequence_info(self, seq_id):
+        bbox = np.asarray(self.annotations[seq_id]["bbox"], np.float64)[None]
+        valid = (bbox[:, 2] > 0) & (bbox[:, 3] > 0)
+        return {"bbox": bbox, "valid": valid, "visible": valid.copy()}
+
+    def get_frames(self, seq_id, frame_ids, anno=None):
+        desc = self.annotations[seq_id]
+        path = os.path.join(self.img_dir,
+                            "objects365_v1_%08d.jpg" % desc["image_id"])
+        if not os.path.exists(path):
+            path = os.path.join(self.img_dir,
+                                "objects365_v2_%08d.jpg" % desc["image_id"])
+        img = self.image_loader(path)
+        frames = [img.copy() for _ in frame_ids]
+        anno = anno or self.get_sequence_info(seq_id)
+        frame_annos = {k: [v[0] for _ in frame_ids] for k, v in anno.items()}
+        name = self.id2class.get(desc["category_id"], "object")
+        return frames, frame_annos, {
+            "language": f"the {name.lower()} in the view"}
+
+
+class VisualGenome(BaseVideoDataset):
+    """Visual Genome region descriptions as 1-frame grounding sequences
+    (lib/train/dataset/visualgenome.py): <root>/{VG_100K/<image_id>.jpg,
+    region_descriptions_new.json with flat [{image_id,x,y,width,height,
+    phrase}] entries}."""
+
+    def __init__(self, root: str, split: str = "train", image_loader=None):
+        from .base import opencv_loader
+
+        super().__init__("visualgenome", root, image_loader or opencv_loader)
+        self.img_dir = os.path.join(root, "VG_100K")
+        with open(os.path.join(root, "region_descriptions_new.json")) as f:
+            self.regions = json.load(f)
+
+    def is_video_sequence(self):
+        return False
+
+    def is_grounding_sequence(self):
+        return True
+
+    def get_num_sequences(self):
+        return len(self.regions)
+
+    def get_sequence_info(self, seq_id):
+        d = self.regions[seq_id]
+        bbox = np.asarray([d["x"], d["y"], d["width"], d["height"]],
+                          np.float64)[None]
+        valid = (bbox[:, 2] > 0) & (bbox[:, 3] > 0)
+        return {"bbox": bbox, "valid": valid, "visible": valid.copy()}
+
+    def get_frames(self, seq_id, frame_ids, anno=None):
+        d = self.regions[seq_id]
+        img = self.image_loader(os.path.join(self.img_dir,
+                                             "%d.jpg" % d["image_id"]))
+        frames = [img.copy() for _ in frame_ids]
+        anno = anno or self.get_sequence_info(seq_id)
+        frame_annos = {k: [v[0] for _ in frame_ids] for k, v in anno.items()}
+        return frames, frame_annos, {"language": d["phrase"].lower()}

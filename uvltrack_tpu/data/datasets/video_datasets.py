@@ -420,3 +420,62 @@ class ImagenetVID(BaseVideoDataset):
         anno = anno or self.get_sequence_info(seq_id)
         frame_annos = {k: [v[i] for i in frame_ids] for k, v in anno.items()}
         return frames, frame_annos, {"language": None}
+
+
+class WebUAV(BaseVideoDataset):
+    """WebUAV-3M training split (lib/train/dataset/webuav.py):
+    <root>/train/Train/<seq>/{groundtruth_rect.txt, absent.txt, img/*} with
+    captions at <root>/language/Language/Train/<seq>/language.txt. Serves
+    all three tasks (tracking / grounding / VL), like the reference."""
+
+    def __init__(self, root: str, split: str = "train", image_loader=None):
+        from .base import opencv_loader
+
+        super().__init__("webuav", root, image_loader or opencv_loader)
+        base = os.path.join(root, "train", "Train")
+        self.sequence_list = sorted(
+            d for d in os.listdir(base)
+            if os.path.isdir(os.path.join(base, d))) if os.path.isdir(base) else []
+        self._base = base
+
+    def is_grounding_sequence(self):
+        return True
+
+    def is_vl_sequence(self):
+        return True
+
+    def get_num_sequences(self):
+        return len(self.sequence_list)
+
+    def _seq_path(self, seq_id):
+        return os.path.join(self._base, self.sequence_list[seq_id])
+
+    def get_sequence_info(self, seq_id):
+        path = self._seq_path(seq_id)
+        bbox = np.loadtxt(os.path.join(path, "groundtruth_rect.txt"),
+                          delimiter=",", dtype=np.float64).reshape(-1, 4)
+        valid = (bbox[:, 2] > 0) & (bbox[:, 3] > 0)
+        absent_file = os.path.join(path, "absent.txt")
+        visible = valid.copy()
+        if os.path.exists(absent_file):
+            with open(absent_file) as f:
+                absent = np.asarray(
+                    [int(v) for v in f.read().replace(",", " ").split()], bool)
+            visible = valid & ~absent[: len(valid)]
+        return {"bbox": bbox, "valid": valid, "visible": visible}
+
+    def _language(self, seq_id):
+        path = os.path.join(self.root, "language", "Language", "Train",
+                            self.sequence_list[seq_id], "language.txt")
+        if os.path.exists(path):
+            with open(path) as f:
+                return f.readline().rstrip().lower()
+        return None
+
+    def get_frames(self, seq_id, frame_ids, anno=None):
+        path = self._seq_path(seq_id)
+        images = sorted(glob.glob(os.path.join(path, "img", "*")))
+        frames = [self.image_loader(images[i]) for i in frame_ids]
+        anno = anno or self.get_sequence_info(seq_id)
+        frame_annos = {k: [v[i] for i in frame_ids] for k, v in anno.items()}
+        return frames, frame_annos, {"language": self._language(seq_id)}

@@ -23,7 +23,8 @@ import numpy as np
 
 from .grounding_aug import (flip_phrase, grounding_resize_train,
                             has_directions)
-from .processing_utils import generate_cls_label_np, jittered_center_crop
+from .processing_utils import (generate_cls_label_np, grounding_resize_np,
+                               jittered_center_crop)
 from .transforms import IMAGENET_MEAN, IMAGENET_STD
 
 DIRECTION_WORDS = ("left", "right", "top", "bottom", "middle")
@@ -212,6 +213,39 @@ class TrackProcessing:
             anno.append(anno[0].copy())
         srch_imgs = np.stack(srch[:n_search], 0)
         srch_boxes = np.stack(anno[:n_search], 0)
+        cls = np.stack([generate_cls_label_np(b, self.search_size // 16,
+                                              self.gaussian_iou, self.dynamic_cls)
+                        for b in srch_boxes], 0)
+        ts = self.template_size
+        return {
+            "template_images": np.zeros((1, ts, ts, 3), np.float32),
+            "template_anno": np.zeros((1, 4), np.float32),
+            "search_images": srch_imgs.astype(np.float32),
+            "search_anno": srch_boxes.astype(np.float32),
+            "search_cls": cls.astype(np.float32),
+            "language": phrase,
+        }
+
+    def grounding_process_test(self, frames, boxes, language, n_search: int):
+        """Validation grounding sample (sampler.py:496-522 + the has_search
+        False branch of processing.py:252-257): frame [0] of the sequence
+        through the PLAIN aspect-preserving letterbox (prutils.
+        grounding_resize — no size menus, no crop, no flip), repeated to
+        n_search frames; only the brightness jitter of transform['grounding']
+        applies."""
+        phrase = language or "object, thing or stuff"
+        im = np.ascontiguousarray(frames[0]).astype(np.uint8)
+        box = np.asarray(boxes[0], np.float64)
+        if box[2] <= 0 or box[3] <= 0:
+            return None
+        padded, nb, att = grounding_resize_np(im, self.search_size, box)
+        if nb[2] <= 0 or nb[3] <= 0 or not self._att_survives_downsample(att):
+            return None
+        factor = self.rng.uniform(max(0.0, 1 - self.brightness_jitter),
+                                  1 + self.brightness_jitter)
+        img = _normalize_img(np.clip(padded.astype(np.float32) * factor, 0, 255))
+        srch_imgs = np.stack([img.copy() for _ in range(n_search)], 0)
+        srch_boxes = np.stack([nb.copy() for _ in range(n_search)], 0)
         cls = np.stack([generate_cls_label_np(b, self.search_size // 16,
                                               self.gaussian_iou, self.dynamic_cls)
                         for b in srch_boxes], 0)

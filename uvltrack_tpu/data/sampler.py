@@ -72,6 +72,10 @@ class GroundingAndTrackingSampler:
         return self._rng.get()
 
     def __len__(self):
+        # grounding validation iterates the dataset's sequences once
+        # (reference sampler.py:90-93)
+        if self.mode == "grounding_test":
+            return self.datasets[0].get_num_sequences()
         return self.samples_per_epoch
 
     # ---------------------------------------------------------------- tasks
@@ -198,7 +202,9 @@ class GroundingAndTrackingSampler:
         while True:
             task = self._roll_task()
             dataset = self._pick_dataset(task)
-            if task == 1:
+            if self.mode == "grounding_test":
+                out = self._sample_grounding_test(dataset)
+            elif task == 1:
                 out = self._sample_grounding(dataset)
             elif task == 2:
                 out = self.sample_vl(dataset)
@@ -294,6 +300,20 @@ class GroundingAndTrackingSampler:
         sample = self.processing.grounding_process(
             g_frames, g_anno["bbox"], s_frames, s_anno["bbox"],
             language, self.num_search)
+        if sample is None:
+            return None
+        return self._finalize(sample, flag=1)
+
+    def _sample_grounding_test(self, dataset) -> Optional[dict]:
+        """Validation grounding sample (sampler.py:496-522): a random
+        sequence's frame [0] through the plain letterbox — no augmentation,
+        no extra search frames."""
+        seq_id = int(self.rng.integers(0, dataset.get_num_sequences()))
+        info = dataset.get_sequence_info(seq_id)
+        frames, anno, meta = dataset.get_frames(seq_id, [0], info)
+        language = meta.get("language") or DEFAULT_CAPTION
+        sample = self.processing.grounding_process_test(
+            frames, anno["bbox"], language, self.num_search)
         if sample is None:
             return None
         return self._finalize(sample, flag=1)

@@ -19,7 +19,8 @@ _PATH_KEYS = [
     "trackingnet_path", "nfs_path", "uav_path", "itb_path", "avist_path",
     "tc128_path", "otb_path", "pretrained_path", "imagenet_path",
     "lasot_lmdb_path", "got10k_lmdb_path", "trackingnet_lmdb_path",
-    "imagenet_lmdb_path", "coco_lmdb_path",
+    "imagenet_lmdb_path", "coco_lmdb_path", "object365_path",
+    "visualgenome_path", "webuav_path",
 ]
 
 
@@ -50,6 +51,9 @@ class EnvSettings:
     trackingnet_lmdb_path: str = ""
     imagenet_lmdb_path: str = ""
     coco_lmdb_path: str = ""
+    object365_path: str = ""
+    visualgenome_path: str = ""
+    webuav_path: str = ""
 
 
 _CACHED: EnvSettings | None = None

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,15 +32,34 @@ NEG_INF = -1e20
 
 
 class ConvBnRelu(nn.Module):
+    """conv -> BN -> relu (uvltrack/utils.py:5-18). freeze_bn=True mirrors
+    FrozenBatchNorm2d (:20-50): stats AND affine params fixed — the scale/
+    bias live in batch_stats-style constants so no gradient flows (the
+    reference's freeze_bn branch is a dead option in shipped configs, kept
+    for capability parity)."""
+
     out: int
     dtype: jnp.dtype = jnp.float32
+    freeze_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn")(x)
+        if self.freeze_bn:
+            scale = self.variable("batch_stats", "frozen_scale",
+                                  lambda: jnp.ones(self.out, jnp.float32))
+            bias = self.variable("batch_stats", "frozen_bias",
+                                 lambda: jnp.zeros(self.out, jnp.float32))
+            mean = self.variable("batch_stats", "frozen_mean",
+                                 lambda: jnp.zeros(self.out, jnp.float32))
+            var = self.variable("batch_stats", "frozen_var",
+                                lambda: jnp.ones(self.out, jnp.float32))
+            inv = scale.value * jax.lax.rsqrt(var.value + 1e-5)
+            x = x.astype(jnp.float32) * inv + (bias.value - mean.value * inv)
+        else:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         return nn.relu(x)
 
 
@@ -49,12 +69,14 @@ class ConvTower(nn.Module):
     channel: int
     out: int
     dtype: jnp.dtype = jnp.float32
+    freeze_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.channel
         for i, ch in enumerate([c, c // 2, c // 4, c // 8]):
-            x = ConvBnRelu(ch, self.dtype, name=f"stage_{i}")(x, train)
+            x = ConvBnRelu(ch, self.dtype, self.freeze_bn,
+                           name=f"stage_{i}")(x, train)
         return nn.Conv(self.out, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                        name="final")(x)
 

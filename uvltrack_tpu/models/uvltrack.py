@@ -69,8 +69,22 @@ def cast_inference_variables(variables: dict, dtype=jnp.bfloat16) -> dict:
     return jax.tree_util.tree_map(cast, variables)
 
 
+def configure_attention(cfg) -> None:
+    """Select the attention backend from cfg.TPU.USE_PALLAS_ATTENTION.
+
+    The qkv-layout-native Pallas kernel beats XLA end-to-end on TPU
+    (TPU_DESIGN.md "Attention": ~842 vs ~767 median tracked FPS for
+    UVLTrack-B); off-TPU (and for <128-token sequences) the backend falls
+    back to XLA internally, so enabling it is safe everywhere."""
+    from ..ops import attention
+
+    want = bool(cfg.TPU.USE_PALLAS_ATTENTION)
+    attention.set_backend("pallas" if want else "xla")
+
+
 @registry.MODELS.register("uvltrack")
 def build_model(cfg, dtype=None) -> UVLTrack:
+    configure_attention(cfg)
     variant = VIT_VARIANTS[vit_variant_from_path(cfg.MODEL.BACKBONE.PRETRAINED_PATH)]
     dtype = dtype if dtype is not None else parse_dtype(cfg.TPU.COMPUTE_DTYPE)
     backbone = MUFE(

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import attention_core, key_padding_bias
+from ..ops.attention import attention_qkv_core, key_padding_bias
 
 
 def sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
@@ -72,6 +72,17 @@ class VitBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     drop_path: float = 0.0
+    # LayerScale (backbones/utils.py:24-31; block.py:21,26): per-channel
+    # residual-branch scaling, enabled when init_values is set. The shipped
+    # configs leave it off (block.py passes init_values=None -> Identity).
+    init_values: Optional[float] = None
+
+    def _layer_scale(self, delta: jnp.ndarray, name: str) -> jnp.ndarray:
+        if self.init_values is None:
+            return delta
+        gamma = self.param(name, nn.initializers.constant(self.init_values),
+                           (self.dim,))
+        return delta * gamma.astype(delta.dtype)
 
     def _drop_path(self, delta: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         if self.drop_path <= 0.0 or deterministic:
@@ -90,19 +101,19 @@ class VitBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                        kernel_init=nn.initializers.xavier_uniform(), name="qkv")(y)
-        qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
         bias = key_padding_bias(key_masked) if key_masked is not None else None
-        attn = attention_core(q, k, v, bias)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, n, c)
+        # layout-native entry: the raw (B, N, 3*H*D) Dense output goes in;
+        # the Pallas backend slices heads inside VMEM, the XLA backend's
+        # transposes fuse into its einsums — identical math either way
+        attn = attention_qkv_core(qkv, h, bias)
         attn = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         kernel_init=nn.initializers.xavier_uniform(), name="proj")(attn)
-        x = x + self._drop_path(attn, deterministic)
+        x = x + self._drop_path(self._layer_scale(attn, 'ls1_gamma'), deterministic)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
                       name="mlp")(y)
-        x = x + self._drop_path(mlp_out, deterministic)
+        x = x + self._drop_path(self._layer_scale(mlp_out, 'ls2_gamma'), deterministic)
         return x
 
 

@@ -42,6 +42,28 @@ def attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return xla_attention(q, k, v, bias)
 
 
+def attention_qkv_core(qkv: jnp.ndarray, heads: int,
+                       bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Layout-native attention entry: qkv is the raw fused-Dense output
+    (B, N, 3*H*D), feature order [q|k|v] x head x dim. Returns (B, N, H*D).
+
+    On the Pallas backend this feeds the qkv-native kernel so no head-major
+    (B,H,N,D) copies materialize around the pallas_call; on the XLA backend
+    the transposes below are virtual (fused into the einsums), making the
+    fallback identical to the classic path."""
+    b, n, f = qkv.shape
+    d = f // (3 * heads)
+    if _BACKEND == "pallas":
+        from .pallas_attention import pallas_attention_qkv
+
+        out = pallas_attention_qkv(qkv, heads, bias)
+        if out is not None:
+            return out
+    parts = qkv.reshape(b, n, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    out = xla_attention(parts[0], parts[1], parts[2], bias)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
+
+
 def xla_attention(q, k, v, bias=None):
     d = q.shape[-1]
     scale = d ** -0.5

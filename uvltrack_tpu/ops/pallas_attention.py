@@ -61,10 +61,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         k = k_ref[0, h]  # is fp32 via preferred_element_type
         v = v_ref[0, h]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT) * scale
         e = jnp.exp(jnp.clip(s + bias, -_CLAMP, _CLAMP))
         o = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
         o = o * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
         o_ref[0, h] = o.astype(o_ref.dtype)
 
@@ -89,6 +91,111 @@ def fused_attention(q, k, v, key_bias, interpret: bool = False):
         out_specs=spec_qkv,
         interpret=interpret,
     )(q, k, v, key_bias)
+
+
+def _attn_kernel_qkv(qkv_ref, bias_ref, o_ref, *, scale: float, heads: int,
+                     head_dim: int):
+    """Layout-native variant: qkv_ref block is (1, N, 3*H*D) — the raw output
+    of the fused qkv Dense (feature order [q|k|v] x head x dim). Per-head
+    q/k/v are static lane slices, so no (B,H,N,D) transpose ever reaches HBM;
+    the output block is (1, N, H*D), directly consumable by the proj Dense."""
+    hd = heads * head_dim
+    bias = bias_ref[0].astype(jnp.float32)  # (1, N) broadcast over rows
+    qkv = qkv_ref[0]  # (N, 3*H*D)
+    for h in range(heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, hd + h * head_dim:hd + (h + 1) * head_dim]
+        v = qkv[:, 2 * hd + h * head_dim:2 * hd + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT) * scale
+        e = jnp.exp(jnp.clip(s + bias, -_CLAMP, _CLAMP))
+        o = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        o = o * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+
+
+_FORCE_INTERPRET = False  # tests flip this to run the kernel off-TPU
+
+
+def fused_attention_qkv(qkv, key_bias, heads: int, interpret: bool = False):
+    """qkv: (B, N, 3*H*D) raw fused-Dense output; key_bias: (B, N) fp32
+    additive. Returns (B, N, H*D)."""
+    interpret = interpret or _FORCE_INTERPRET
+    b, n, f = qkv.shape
+    d = f // (3 * heads)
+    key_bias = key_bias[:, None, :]
+    spec_qkv = pl.BlockSpec((1, n, f), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, n, f // 3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_bias = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_qkv, scale=d ** -0.5, heads=heads,
+                          head_dim=d),
+        out_shape=jax.ShapeDtypeStruct((b, n, f // 3), qkv.dtype),
+        grid=(b,),
+        in_specs=[spec_qkv, spec_bias],
+        out_specs=spec_out,
+        interpret=interpret,
+    )(qkv, key_bias)
+
+
+def _xla_qkv_attention(qkv, key_bias, heads: int):
+    """Pure-XLA reference of the qkv-layout attention (used as the recompute
+    backward of the kernel and as the off-TPU fallback math)."""
+    from .attention import xla_attention
+
+    b, n, f = qkv.shape
+    d = f // (3 * heads)
+    parts = qkv.reshape(b, n, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    out = xla_attention(parts[0], parts[1], parts[2],
+                        key_bias[:, None, None, :])
+    return out.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _qkv_attention_trainable(heads: int, qkv, key_bias):
+    """Kernel forward with an XLA-recompute backward: pallas_call defines no
+    VJP, so the gradient re-derives attention from the saved qkv/bias with
+    the einsum math (flash-attention-style recompute — trades FLOPs for
+    never materializing the NxN probabilities in the forward)."""
+    return fused_attention_qkv(qkv, key_bias, heads)
+
+
+def _qkv_attention_fwd(heads, qkv, key_bias):
+    return fused_attention_qkv(qkv, key_bias, heads), (qkv, key_bias)
+
+
+def _qkv_attention_bwd(heads, res, g):
+    qkv, key_bias = res
+    _, vjp = jax.vjp(lambda q, b: _xla_qkv_attention(q, b, heads),
+                     qkv, key_bias)
+    return vjp(g.astype(qkv.dtype))
+
+
+_qkv_attention_trainable.defvjp(_qkv_attention_fwd, _qkv_attention_bwd)
+
+
+def pallas_attention_qkv(qkv, heads: int, bias=None):
+    """Adapter for the layout-native path. qkv: (B, N, 3*H*D); bias: None or
+    (B,1,1,N) key-padding. Returns (B, N, H*D) or None when not applicable.
+    Differentiable (custom VJP recomputes the backward in XLA math)."""
+    if not (_HAS_PALLAS and _on_tpu()):
+        return None
+    b, n, f = qkv.shape
+    if n < 128:
+        return None
+    if bias is None:
+        key_bias = jnp.zeros((b, n), jnp.float32)
+    elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+        key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+    else:
+        return None
+    return _qkv_attention_trainable(heads, qkv, key_bias)
 
 
 def pallas_attention(q, k, v, bias=None):
