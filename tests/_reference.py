@@ -88,6 +88,28 @@ def install():
         sys.modules["timm.models"] = models
         sys.modules["timm.models.vision_transformer"] = vt
 
+    if "tikzplotlib" not in sys.modules:
+        # plot_results.py imports it at module level for tikz export only
+        m = types.ModuleType("tikzplotlib")
+
+        def _save(*a, **k):
+            raise RuntimeError("tikzplotlib shim: not available")
+
+        m.save = _save
+        sys.modules["tikzplotlib"] = m
+
+    if "lmdb" not in sys.modules:
+        # lib/test/evaluation/environment.py pulls the lmdb-backed datasets
+        # in at import time; the wheel is absent here and the analysis code
+        # under test never opens an environment.
+        m = types.ModuleType("lmdb")
+
+        def _no_lmdb(*a, **k):
+            raise RuntimeError("lmdb shim: not available in this sandbox")
+
+        m.open = _no_lmdb
+        sys.modules["lmdb"] = m
+
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         ops = types.ModuleType("torchvision.ops")

@@ -92,7 +92,9 @@ def main(argv=None):
 
     tx = build_optimizer(cfg, variables["params"], steps_per_epoch)
     state = create_train_state(variables, tx)
-    train_step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh)
+    train_step = jit_sharded_train_step(
+        make_train_step(model, tx, cfg), mesh,
+        zero1=bool(cfg.TPU.ZERO1) and n_data > 1, state=state)
     eval_step = jax.jit(make_eval_step(model, cfg))
 
     ckpt_dir = os.path.join(settings.repo_dir, "checkpoints", "train",

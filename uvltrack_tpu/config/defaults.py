@@ -151,6 +151,7 @@ def default_cfg() -> CfgNode:
     c.TPU.PARAM_DTYPE = "float32"
     c.TPU.USE_PALLAS_ATTENTION = True
     c.TPU.MESH_DATA = -1  # -1: all devices on the data axis
+    c.TPU.ZERO1 = False  # shard Adam moments over the data axis (ZeRO-1)
     c.TPU.MESH_MODEL = 1
     c.TPU.REMAT = False  # jax.checkpoint the backbone blocks during training
 

@@ -51,3 +51,43 @@ def param_sharding_rules(mesh: Mesh, params) -> object:
     """Replicate all parameters (data-parallel). Tensor-parallel rules for
     ViT-L ("model" axis on qkv/mlp kernels) are layered on in parallel/tp.py."""
     return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
+
+
+def zero1_moment_sharding(mesh: Mesh, x) -> NamedSharding:
+    """ZeRO-1-style sharding for one optimizer-moment tensor: partition the
+    largest axis divisible by the "data" mesh size; replicate anything that
+    doesn't divide (scalars, small vectors). Memory for Adam's mu/nu then
+    scales as 1/dp — the usual first lever when params+moments stop fitting.
+    """
+    n = int(mesh.shape["data"])
+    if n <= 1 or not hasattr(x, "ndim") or x.ndim == 0:
+        return replicated(mesh)
+    order = sorted(range(x.ndim), key=lambda a: -x.shape[a])
+    for axis in order:
+        if x.shape[axis] % n == 0 and x.shape[axis] >= n:
+            spec = [None] * x.ndim
+            spec[axis] = "data"
+            return NamedSharding(mesh, P(*spec))
+    return replicated(mesh)
+
+
+def zero1_state_shardings(mesh: Mesh, state, params_sharding=None):
+    """Sharding pytree for a TrainState under ZeRO-1: params/batch_stats/step
+    replicated (or params_sharding when tensor-parallel), optimizer moments
+    sharded over "data" via zero1_moment_sharding.
+
+    With these as jit out_shardings, XLA keeps only 1/dp of each Adam moment
+    per device and partitions the elementwise optimizer update accordingly —
+    the all-gather back to replicated params is derived automatically
+    (scaling-book recipe: annotate shardings, let XLA insert collectives)."""
+    repl = replicated(mesh)
+    params_rules = (params_sharding if params_sharding is not None
+                    else jax.tree_util.tree_map(lambda _: repl, state.params))
+    opt_rules = jax.tree_util.tree_map(
+        lambda x: zero1_moment_sharding(mesh, x), state.opt_state)
+    return type(state)(
+        params=params_rules,
+        opt_state=opt_rules,
+        batch_stats=jax.tree_util.tree_map(lambda _: repl, state.batch_stats),
+        step=repl,
+    )

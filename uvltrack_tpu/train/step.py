@@ -70,12 +70,18 @@ def make_eval_step(model, cfg):
 
 
 def jit_sharded_train_step(train_step, mesh: Mesh, replicate_out: bool = True,
-                           donate: bool = True):
+                           donate: bool = True, zero1: bool = False,
+                           state: "TrainState" = None):
     """jit the step; the caller device_puts the batch with its "data"-axis
     sharding (parallel/mesh.shard_batch) and the state replicated (or
     TP-sharded via parallel/tp.py), and XLA derives the gradient all-reduce
     from that layout. replicate_out pins outputs replicated (pure DP); with
     tensor parallelism leave it False so params keep their shardings.
+
+    zero1=True (needs `state` for its structure) shards the optimizer
+    moments over the "data" axis (parallel/mesh.zero1_state_shardings):
+    Adam's mu/nu live 1/dp per device and the optimizer update partitions
+    accordingly — cfg.TPU.ZERO1 in the train CLI.
 
     donate=True reuses the incoming TrainState's buffers for the outputs
     (params + Adam moments are ~2.8GB for ViT-B; not donating doubles live
@@ -84,6 +90,14 @@ def jit_sharded_train_step(train_step, mesh: Mesh, replicate_out: bool = True,
     — after the first step; pass donate=False to keep them alive.
     """
     donate_argnums = (0,) if donate else ()
+    if zero1:
+        from ..parallel.mesh import zero1_state_shardings
+
+        assert state is not None, "zero1 sharding needs the state structure"
+        rules = zero1_state_shardings(mesh, state)
+        return jax.jit(train_step,
+                       out_shardings=(rules, NamedSharding(mesh, P())),
+                       donate_argnums=donate_argnums)
     if not replicate_out:
         return jax.jit(train_step, donate_argnums=donate_argnums)
     repl = NamedSharding(mesh, P())
