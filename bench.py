@@ -255,9 +255,31 @@ def main():
         extra["multistream8_l_aggregate_fps"] = round(agg, 2)
         log(f"[{elapsed():.0f}s] 8-stream L aggregate fps={agg:.1f}")
 
+    def nlbbox():
+        # tri-modal path (flag 2: text branch live in every frame's joint
+        # attention) — BASELINE.json config 3's speed aspect
+        import jax
+
+        from uvltrack_tpu.track.tracker import Tracker
+
+        cfg2, model2, variables2, _ = make_tracker(config)
+        cfg2.TEST.MODE = "NLBBOX"
+        trk = Tracker(cfg2, model2, variables2, tokenizer=None)
+        trk.initialize(np.asarray(pool[0]),
+                       {"init_bbox": [600.0, 300.0, 120.0, 160.0],
+                        "language": "the moving object"})
+        trk.track_many([pool[i % len(pool)] for i in range(32)])
+        t0 = time.perf_counter()
+        out = trk.track_many([pool[i % len(pool)] for i in range(iters)])
+        wall = time.perf_counter() - t0
+        assert np.isfinite(out).all()
+        extra["tracked_fps_nlbbox_mode_b"] = round(iters / wall, 2)
+        log(f"[{elapsed():.0f}s] B NLBBOX-mode fps={iters / wall:.1f}")
+
     if config == "baseline_base" and os.environ.get(
             "UVLTRACK_BENCH_EXTRAS", "1") == "1":
         run_extra("upload_overlap", upload)
+        run_extra("nlbbox_mode", nlbbox)
         run_extra("uvltrack_l", large)
         run_extra("multistream8_l", multistream)
 

@@ -154,6 +154,7 @@ def default_cfg() -> CfgNode:
     c.TPU.ZERO1 = False  # shard Adam moments over the data axis (ZeRO-1)
     c.TPU.MESH_MODEL = 1
     c.TPU.REMAT = False  # jax.checkpoint the backbone blocks during training
+    c.TPU.COMPILE_CACHE = ""  # persistent XLA compile cache dir ("" = off)
 
     return c
 

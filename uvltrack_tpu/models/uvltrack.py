@@ -69,6 +69,18 @@ def cast_inference_variables(variables: dict, dtype=jnp.bfloat16) -> dict:
     return jax.tree_util.tree_map(cast, variables)
 
 
+def configure_compile_cache(cfg) -> None:
+    """Enable jax's persistent compilation cache when cfg.TPU.COMPILE_CACHE
+    names a directory — a production nicety: tracker/train start-up skips
+    the 20-40s first compile on every process restart."""
+    path = str(getattr(cfg.TPU, "COMPILE_CACHE", "") or "")
+    if path:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def configure_attention(cfg) -> None:
     """Select the attention backend from cfg.TPU.USE_PALLAS_ATTENTION.
 
@@ -85,6 +97,7 @@ def configure_attention(cfg) -> None:
 @registry.MODELS.register("uvltrack")
 def build_model(cfg, dtype=None) -> UVLTrack:
     configure_attention(cfg)
+    configure_compile_cache(cfg)
     variant = VIT_VARIANTS[vit_variant_from_path(cfg.MODEL.BACKBONE.PRETRAINED_PATH)]
     dtype = dtype if dtype is not None else parse_dtype(cfg.TPU.COMPUTE_DTYPE)
     backbone = MUFE(
