@@ -49,3 +49,38 @@ def test_batch_inactive_streams_frozen(bt):
     assert np.allclose(state_boxes[2], boxes[2])
     assert np.allclose(state_boxes[3], boxes[3])
     assert np.asarray(bt.state.frame_id).tolist() == [1, 1, 0, 0]
+
+
+def test_batch_tracker_sharded_over_mesh_matches_single_chip():
+    """mesh=Mesh(8 devices): streams shard over "data"; per-frame outputs
+    must match the unsharded tracker bit-for-near (pure data parallelism —
+    no cross-stream math in the step)."""
+    from uvltrack_tpu.parallel.mesh import make_mesh
+
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    S = 8
+    mesh = make_mesh(data=8, model=1)
+    bt_m = BatchTracker(tiny_cfg(), model, variables, num_streams=S, mesh=mesh)
+    bt_1 = BatchTracker(tiny_cfg(), model, variables, num_streams=S)
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(S)]
+    boxes = np.tile([30.0, 20, 20, 24], (S, 1)).astype(np.float32)
+    boxes[:, 0] += np.arange(S)
+    bt_m.initialize(frames, boxes)
+    bt_1.initialize(frames, boxes)
+
+    # state is actually sharded over the mesh
+    assert not bt_m.state.box.sharding.is_fully_replicated
+    assert "data" in str(bt_m.state.box.sharding.spec)
+    for t in range(3):
+        batch = np.stack([rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+                          for _ in range(S)])
+        out_m = bt_m.step(batch)
+        out_1 = bt_1.step(batch)
+        np.testing.assert_allclose(out_m, out_1, rtol=1e-5, atol=1e-4)
+    assert np.asarray(bt_m.state.frame_id).tolist() == [3] * S

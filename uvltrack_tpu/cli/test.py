@@ -57,6 +57,9 @@ def main(argv=None):
     p.add_argument("--runid", type=int, default=None)
     p.add_argument("--sequence", default=None, help="run a single sequence")
     p.add_argument("--rerun", action="store_true")
+    p.add_argument("--multichip", action="store_true",
+                   help="shard the lockstep streams over all local chips "
+                        "(mesh data axis; --streams must divide the chip count)")
     p.add_argument("--streams", type=int, default=0,
                    help="batched evaluation with N lockstep streams per chip "
                         "(replaces the reference's GPU process pool)")
@@ -104,10 +107,15 @@ def main(argv=None):
         from ..track.batch import BatchTracker
 
         proto = build_tracker(cfg, args.test_checkpoint)
+        mesh = None
+        if args.multichip:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(data=-1, model=1)
 
         def factory(S):
             return BatchTracker(cfg, proto.jt.model, proto.jt.variables, S,
-                                tokenizer=proto.tokenizer)
+                                tokenizer=proto.tokenizer, mesh=mesh)
 
         run_dataset_batched(factory, dataset, results_dir,
                             num_streams=args.streams, rerun=args.rerun)

@@ -44,13 +44,28 @@ class BatchTracker:
     their first frames, then advanced with step(frames (S,H,W,3))."""
 
     def __init__(self, cfg, model: UVLTrack, variables: dict, num_streams: int,
-                 tokenizer=None):
+                 tokenizer=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh — streams shard over its "data"
+        axis (num_streams must divide by it), replacing the reference's
+        one-process-per-GPU eval pool with SPMD inference over all chips:
+        weights replicated, every per-stream array (frames, state, prompts)
+        split on the stream axis, collectives-free (pure data parallel)."""
         self.cfg = cfg
         self.model = model
         if str(cfg.TPU.COMPUTE_DTYPE) == "bfloat16":
             from ..models.uvltrack import cast_inference_variables
 
             variables = cast_inference_variables(variables)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert num_streams % int(mesh.shape["data"]) == 0, (
+                num_streams, dict(mesh.shape))
+            self._repl = NamedSharding(mesh, P())
+            self._stream = lambda ndim: NamedSharding(
+                mesh, P(*(["data"] + [None] * (ndim - 1))))
+            variables = jax.device_put(variables, self._repl)
         self.variables = variables
         self.S = num_streams
         self.tokenizer = tokenizer
@@ -115,6 +130,12 @@ class BatchTracker:
         hw = frames[0].shape[:2]
         stacked = jnp.stack([jnp.asarray(f) for f in frames])
         boxes_j = jnp.asarray(np.asarray(boxes, np.float32))
+        if self.mesh is not None:
+            put = lambda x: jax.device_put(x, self._stream(x.ndim))
+            stacked, boxes_j = put(stacked), put(boxes_j)
+            self.text_ids = put(self.text_ids)
+            self.text_mask = put(self.text_mask)
+            self.flags = put(self.flags)
         template, template_mask, prompt = self._init_fn(hw)(
             self.variables, stacked, boxes_j, self.text_ids, self.text_mask,
             self.flags)
@@ -227,6 +248,8 @@ class BatchTracker:
         """frames: (S, H, W, 3) or list of S frames. Returns (S, 5) boxes+scores."""
         if isinstance(frames, (list, tuple)):
             frames = jnp.stack([jnp.asarray(f) for f in frames])
+        if self.mesh is not None:
+            frames = jax.device_put(frames, self._stream(frames.ndim))
         hw = (int(frames.shape[1]), int(frames.shape[2]))
         self.state, packed = self._step_fn(hw)(
             self.variables, self.state, frames, self.template,
@@ -236,6 +259,8 @@ class BatchTracker:
     def step_async(self, frames):
         if isinstance(frames, (list, tuple)):
             frames = jnp.stack([jnp.asarray(f) for f in frames])
+        if self.mesh is not None:
+            frames = jax.device_put(frames, self._stream(frames.ndim))
         hw = (int(frames.shape[1]), int(frames.shape[2]))
         self.state, packed = self._step_fn(hw)(
             self.variables, self.state, frames, self.template,
