@@ -46,3 +46,48 @@ def test_setup_env_writes_template(tmp_path, monkeypatch):
     data = yaml.safe_load(open(path))
     assert "otb99_path" in data and "results_path" in data
     os.remove(path)
+
+
+def test_analyze_per_seq_and_got_json(tmp_path, monkeypatch):
+    """analyze CLI end-to-end with a synthetic results layout: default
+    scores, --per_seq table, --filter, and --got_json plotting."""
+    import json
+    import os
+
+    import numpy as np
+
+    from uvltrack_tpu.cli import analyze
+    from uvltrack_tpu.eval.data import Sequence, SequenceList
+    from uvltrack_tpu.eval.datasets import DATASET_BUILDERS
+    from uvltrack_tpu.eval.environment import reset_env_cache
+
+    anno = np.tile([10.0, 10, 20, 20], (5, 1))
+
+    def fake_ds():
+        return SequenceList([Sequence("seqA", [], "otb99", anno.copy()),
+                             Sequence("seqB", [], "otb99", anno.copy())])
+
+    monkeypatch.setitem(DATASET_BUILDERS, "fakebench", fake_ds)
+    monkeypatch.setenv("UVLTRACK_REPO", str(tmp_path))
+    reset_env_cache()
+    # analyze resolves experiments/<script>/<cfg>.yaml under the repo dir
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(analyze.__file__)))
+    exp_src = os.path.join(os.path.dirname(repo), "experiments")
+    (tmp_path / "experiments").symlink_to(exp_src)
+    rdir = (tmp_path / "output" / "test" / "tracking_results" / "uvltrack"
+            / "baseline_base" / "fakebench_NLBBOX_0300")
+    rdir.mkdir(parents=True)
+    np.savetxt(rdir / "seqA.txt", anno, delimiter="\t", fmt="%d")
+    np.savetxt(rdir / "seqB.txt", anno + np.array([18.0, 0, 0, 0]),
+               delimiter="\t", fmt="%d")
+
+    args = ["--dataset_name", "fakebench"]
+    analyze.main(args)                                   # aggregate scores
+    analyze.main(args + ["--per_seq"])                   # per-sequence table
+    analyze.main(args + ["--per_seq", "--filter", "ao_min:50"])
+    (tmp_path / "r.json").write_text(json.dumps(
+        {"Trk": {"succ_curve": list(np.linspace(1, 0, 101)), "ao": 0.5}}))
+    analyze.main(args + ["--got_json", f"T={tmp_path / 'r.json'}",
+                         "--plot_dir", str(tmp_path / "plots")])
+    assert (tmp_path / "plots" / "got_success_plot.png").exists()
+    reset_env_cache()

@@ -137,6 +137,9 @@ def default_cfg() -> CfgNode:
     c.TEST.THRESHOLD_CLS = 0.0
     c.TEST.WINDOW_INFLUENCE = 0.49
     c.TEST.UPDATE_INTERVAL = 100000
+    # per-dataset interval table — defined by the reference config
+    # (config.py:142-147) but unused by its live tracker; kept so strict
+    # YAML merge accepts configs that set it
     c.TEST.UPDATE_INTERVALS = CfgNode()
     c.TEST.UPDATE_INTERVALS.LASOT = [200]
     c.TEST.UPDATE_INTERVALS.GOT10K_TEST = [200]
