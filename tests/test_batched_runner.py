@@ -51,3 +51,41 @@ def test_batched_runner_outputs_match_contract(tmp_path):
         lambda S: BatchTracker(cfg, model, variables, num_streams=S),
         ds, rdir, num_streams=2, image_loader=np.load, verbose=False)
     assert stats2["sequences"] == 0
+
+
+def test_batched_runner_dispatches_lmdb_frame_refs(tmp_path):
+    """(db_path, key) frame refs must decode through lmdb_utils in the
+    batched runner too (shared dispatching_loader)."""
+    import cv2
+
+    from uvltrack_tpu.utils.lmdb_native import write_lmdb
+
+    rng = np.random.default_rng(1)
+    env = str(tmp_path / "env")
+    n = 4
+    entries = {}
+    frames = []
+    for i in range(n):
+        img = rng.integers(0, 255, size=(64, 96, 3)).astype(np.uint8)
+        ok, buf = cv2.imencode(".jpg", img[..., ::-1])
+        assert ok
+        key = f"seq/{i:08d}.jpg"
+        entries[key] = bytes(buf)
+        frames.append((env, key))
+    write_lmdb(env, entries.items())
+
+    gt = np.tile(np.array([[10.0, 12.0, 20.0, 18.0]]), (n, 1))
+    ds = SequenceList([Sequence("lm0", frames, "otb99", gt)])
+
+    model = tiny_model()
+    variables = jax.jit(lambda r: model.init(r, *tiny_inputs(), train=False))(
+        jax.random.PRNGKey(0))
+    cfg = tiny_cfg()
+    cfg.TEST.MODE = "BBOX"
+    rdir = str(tmp_path / "results")
+    stats = run_dataset_batched(
+        lambda S: BatchTracker(cfg, model, variables, num_streams=S),
+        ds, rdir, num_streams=1, verbose=False)
+    assert stats["sequences"] == 1
+    pred = np.loadtxt(os.path.join(rdir, "lm0.txt"), delimiter="\t")
+    assert pred.shape == (n, 4)

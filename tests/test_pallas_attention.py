@@ -125,3 +125,45 @@ def test_qkv_attention_custom_vjp_gradients():
         pa._FORCE_INTERPRET = False
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_xla),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_custom_vjp_backward_is_clamp_consistent():
+    """Where the kernel's ±80 clamp saturates, the backward must describe
+    the clamped function (zero grad through saturated scores), not the exact
+    softmax — otherwise forward and backward disagree."""
+    import jax
+
+    from uvltrack_tpu.ops import pallas_attention as pa
+
+    b, h, n, d = 1, 1, 8, 8
+    rng = np.random.default_rng(9)
+    # huge q pushes some scores beyond +80 -> clamp active
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)) * 60.0, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    kb = jnp.zeros((b, n), jnp.float32)
+    qkv = jnp.concatenate([
+        x.transpose(0, 2, 1, 3).reshape(b, n, h * d) for x in (q, k, v)], -1)
+    s = np.einsum("bhnd,bhmd->bhnm", np.asarray(q), np.asarray(k)) / np.sqrt(d)
+    assert (np.abs(s) > 80).any()  # clamp genuinely active
+
+    def loss_kernel(x):
+        return (pa._qkv_attention_trainable(h, x, kb) ** 2).sum()
+
+    def loss_clamped(x):
+        return (pa._xla_qkv_attention(x, kb, h, clamp=True) ** 2).sum()
+
+    pa._FORCE_INTERPRET = True
+    try:
+        out_kernel = jax.jit(lambda x: pa._qkv_attention_trainable(h, x, kb))(qkv)
+        g_kernel = jax.jit(jax.grad(loss_kernel))(qkv)
+    finally:
+        pa._FORCE_INTERPRET = False
+    out_clamped = jax.jit(lambda x: pa._xla_qkv_attention(x, kb, h, clamp=True))(qkv)
+    g_clamped = jax.jit(jax.grad(loss_clamped))(qkv)
+    # forward agrees with the clamped reference...
+    np.testing.assert_allclose(np.asarray(out_kernel), np.asarray(out_clamped),
+                               rtol=1e-4, atol=1e-5)
+    # ...and so does the gradient
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_clamped),
+                               rtol=1e-3, atol=1e-4)

@@ -55,7 +55,7 @@ def default_cfg() -> CfgNode:
     c.TRAIN = CfgNode()
     c.TRAIN.POSITIVE_MODE = "ctr"
     c.TRAIN.MODE = "grounding"
-    c.TRAIN.VLTVG_AUG = False
+    c.TRAIN.VLTVG_AUG = False  # dead in the reference too (defined config.py:53, never read); the grounding2 aug chain is unconditional in both
     c.TRAIN.GROUNDING_RATIO = None
     c.TRAIN.VL_RATIO = None
     c.TRAIN.LR = 0.0001

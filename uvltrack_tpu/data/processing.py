@@ -21,8 +21,8 @@ from typing import List, Optional
 import cv2
 import numpy as np
 
-from .grounding_aug import (flip_phrase, grounding_resize_train,
-                            has_directions)
+from .grounding_aug import (flip_phrase,  # noqa: F401 (re-export)
+                            grounding_resize_train, has_directions)
 from .processing_utils import (generate_cls_label_np, grounding_resize_np,
                                jittered_center_crop)
 from .transforms import IMAGENET_MEAN, IMAGENET_STD
@@ -175,7 +175,11 @@ class TrackProcessing:
         g_annos = [g_norm]
 
         s_images, s_annos = [], []
-        if search_frames and not has_direction:
+        if search_frames:
+            # the reference runs the search branch (jitter, crop, validity)
+            # BEFORE the direction-word substitution (processing.py:203-276
+            # precede :285-291), so its accept/reject distribution applies to
+            # direction-word samples too — match that here
             for _ in range(10):
                 s_jit = [self._jitter_box(b, self.srch_center_jitter,
                                           self.srch_scale_jitter)
@@ -185,11 +189,16 @@ class TrackProcessing:
             else:
                 return None
             try:
-                crops, norms, _ = jittered_center_crop(
+                crops, norms, atts = jittered_center_crop(
                     search_frames, s_jit, search_boxes,
                     self.search_factor, self.search_size)
             except ValueError:
                 return None
+            for att in atts:
+                # processing.py:262-274: the crop's attention mask must keep
+                # content after nearest-downsample to the feature grid
+                if (att == 1).all() or not self._att_survives_downsample(att):
+                    return None
             for b in norms:
                 iw = min(b[0] + b[2], 1.0) - max(b[0], 0.0)
                 ih = min(b[1] + b[3], 1.0) - max(b[1], 0.0)
@@ -206,6 +215,10 @@ class TrackProcessing:
             s_images = [_normalize_img(im) for im in imgs]
             s_annos = boxes
 
+        if has_direction:
+            # direction words: the grounding frame substitutes the search
+            # crops (processing.py:285-291) — after their validity ran
+            s_images, s_annos = [], []
         srch = g_images + s_images
         anno = g_annos + s_annos
         while len(srch) < n_search:  # direction words / image datasets:

@@ -1,9 +1,9 @@
 """Additional benchmark adapters: OTB100, NFS, UAV123, TC128, ITB, AVisT.
 
 Parity targets: lib/test/evaluation/{otbdataset,nfsdataset,uavdataset,
-tc128dataset,itbdataset,avistdataset}.py. These are glob-driven readers of
-the standard public layouts; UAV123's few split sequences (start/end frame
-offsets) follow the per-sequence annotation length.
+tc128dataset,itbdataset,avistdataset}.py. Most are glob-driven readers of
+the standard public layouts; UAV123 is table-driven from
+data_specs/uav123_sequences.json (split sequences need start/end offsets).
 """
 
 from __future__ import annotations
@@ -87,7 +87,10 @@ def uav_dataset() -> SequenceList:
         n = min(len(frames), len(anno))
         if n == 0:
             continue
+        # the reference attaches the class name as BOTH object_class and
+        # language (uavdataset.py:41-42)
         seqs.append(Sequence(info["name"], frames[:n], "uav", anno[:n],
+                             object_class=info.get("object_class"),
                              language=info.get("object_class")))
     return SequenceList(seqs)
 

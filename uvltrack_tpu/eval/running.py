@@ -29,6 +29,21 @@ def save_results(results_dir: str, seq_name: str, boxes: np.ndarray,
     np.savetxt(os.path.join(results_dir, f"{seq_name}_time.txt"), times, fmt="%.8f")
 
 
+def dispatching_loader(base_load):
+    """Wrap an image loader so LMDB-packed (db_path, key) frame refs decode
+    through lmdb_utils (parity: lib/test/evaluation/tracker.py _read_image
+    list dispatch); plain path strings go to base_load."""
+
+    def load(f):
+        if isinstance(f, (tuple, list)):
+            from ..utils.lmdb_utils import decode_img
+
+            return decode_img(f[0], f[1])
+        return base_load(f)
+
+    return load
+
+
 def run_sequence(tracker, seq: Sequence, results_dir: str,
                  image_loader: Optional[Callable] = None, rerun: bool = False,
                  prefetch: int = 8, chunk: int = 0):
@@ -44,16 +59,7 @@ def run_sequence(tracker, seq: Sequence, results_dir: str,
         return None
     from ..native import SequencePrefetcher, imread_rgb
 
-    base_load = image_loader or imread_rgb
-
-    def load(f):
-        # LMDB-packed sequences carry (db_path, key) frame refs (parity:
-        # lib/test/evaluation/tracker.py _read_image list dispatch)
-        if isinstance(f, (tuple, list)):
-            from ..utils.lmdb_utils import decode_img
-
-            return decode_img(f[0], f[1])
-        return base_load(f)
+    load = dispatching_loader(image_loader or imread_rgb)
     boxes, times = [], []
     start = time.time()
     frames = SequencePrefetcher(seq.frames, depth=max(prefetch, chunk + 1),

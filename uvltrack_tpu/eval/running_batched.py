@@ -19,7 +19,7 @@ from typing import Callable, List, Optional
 import numpy as np
 
 from .data import Sequence, SequenceList
-from .running import save_results
+from .running import dispatching_loader, save_results
 
 
 def _resolution(seq: Sequence, image_loader) -> tuple:
@@ -35,7 +35,7 @@ def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
     """batch_tracker_factory(num_streams) -> BatchTracker-like object."""
     from ..native import imread_rgb
 
-    load = image_loader or imread_rgb
+    load = dispatching_loader(image_loader or imread_rgb)
     pending = [s for s in dataset
                if rerun or not os.path.isfile(os.path.join(results_dir, f"{s.name}.txt"))]
     skipped = len(dataset) - len(pending)

@@ -13,14 +13,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BACKEND = "xla"  # overridden via set_backend; "pallas" requires TPU
+_BACKEND = "xla"  # selected via set_backend; "pallas" requires TPU
+_OVERRIDE = None  # force_backend pin: wins over later set_backend calls
 
 
 def set_backend(name: str) -> None:
+    """Select the backend. A force_backend pin (if any) takes precedence —
+    build_model calls this from each model's cfg, and without the pin a
+    later build would silently flip the global backend under an earlier
+    model (e.g. bench.py's XLA fallback being undone by the next extra)."""
     global _BACKEND
     if name not in ("xla", "pallas"):
         raise ValueError(f"unknown attention backend {name!r}")
-    _BACKEND = name
+    if _OVERRIDE is None:
+        _BACKEND = name
+
+
+def force_backend(name: str | None) -> None:
+    """Pin the backend process-wide (None clears the pin)."""
+    global _BACKEND, _OVERRIDE
+    if name is not None and name not in ("xla", "pallas"):
+        raise ValueError(f"unknown attention backend {name!r}")
+    _OVERRIDE = name
+    if name is not None:
+        _BACKEND = name
 
 
 def get_backend() -> str:

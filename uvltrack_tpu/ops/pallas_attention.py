@@ -6,10 +6,15 @@ program-level overhead dominates at N=361 tokens. Q/K/V live in VMEM and
 scores + key-padding bias + exp + PV + normalization happen in one fused pass,
 so the NxN score matrices never touch HBM.
 
-Softmax shortcuts (both exact up to float rounding, measured on v5e):
+Softmax shortcuts (exact up to float rounding while |score| < 80,
+measured on v5e):
 - no max-subtraction: scores are clamped to ±80 instead, which exp() survives
   in fp32 (361*e^80 < fp32 max) and which turns the -1e10 masked-key bias
   into e^-80 ≈ 2e-35 — numerically zero. Saves a full NxN lane reduction.
+  CONTRACT: scores beyond ±80 saturate (equal weight among >80 scores) —
+  trained attention logits are O(10); the full-size reference-parity and
+  bf16 tests cover the realistic range, and the custom-VJP backward
+  differentiates the clamped function so fwd/bwd always agree.
 - late division: P·V runs on the unnormalized exp in bf16 and the row sums
   divide the (N, D) output instead of the (N, N) probabilities.
 
@@ -144,16 +149,24 @@ def fused_attention_qkv(qkv, key_bias, heads: int, interpret: bool = False):
     )(qkv, key_bias)
 
 
-def _xla_qkv_attention(qkv, key_bias, heads: int):
-    """Pure-XLA reference of the qkv-layout attention (used as the recompute
-    backward of the kernel and as the off-TPU fallback math)."""
-    from .attention import xla_attention
-
+def _xla_qkv_attention(qkv, key_bias, heads: int, clamp: bool = False):
+    """Pure-XLA qkv-layout attention. clamp=True mirrors the kernel's
+    clip-to-±80 softmax exactly — the custom-VJP backward differentiates
+    THIS so gradients describe the same function the kernel computed in the
+    forward (identical to exact softmax while |score| < 80; zero gradient
+    through saturated scores, matching the clamp)."""
     b, n, f = qkv.shape
     d = f // (3 * heads)
     parts = qkv.reshape(b, n, 3, heads, d).transpose(2, 0, 3, 1, 4)
-    out = xla_attention(parts[0], parts[1], parts[2],
-                        key_bias[:, None, None, :])
+    q, k, v = parts[0], parts[1], parts[2]
+    scale = d ** -0.5
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = s + key_bias[:, None, None, :].astype(jnp.float32)
+    if clamp:
+        s = jnp.clip(s, -_CLAMP, _CLAMP)
+    probs = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
     return out.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
 
 
@@ -172,7 +185,7 @@ def _qkv_attention_fwd(heads, qkv, key_bias):
 
 def _qkv_attention_bwd(heads, res, g):
     qkv, key_bias = res
-    _, vjp = jax.vjp(lambda q, b: _xla_qkv_attention(q, b, heads),
+    _, vjp = jax.vjp(lambda q, b: _xla_qkv_attention(q, b, heads, clamp=True),
                      qkv, key_bias)
     return vjp(g.astype(qkv.dtype))
 
