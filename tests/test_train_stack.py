@@ -211,3 +211,54 @@ def test_zero1_shards_optimizer_moments_and_matches_replicated(setup):
     # second step works off the sharded state (resharding contract holds)
     out_z2, m_z2 = step_z(out_z, sbatch)
     assert np.isfinite(float(m_z2["Loss/total"]))
+
+
+def test_trainer_fail_safe_restarts_from_checkpoint(setup, tmp_path):
+    """base_trainer.py:99-108 parity: a crashing epoch reloads the last
+    checkpoint and continues; retries cap out and re-raise."""
+    from uvltrack_tpu.train.trainer import Trainer
+
+    cfg, model, variables, batch = setup
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch=2)
+    state = create_train_state(variables, tx)
+    mesh = make_mesh(data=1, model=1)
+    real_step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh,
+                                       donate=False)
+    crashes = {"left": 2}
+
+    def flaky_step(s, b):
+        # crash mid-run: once in epoch 2 (after epoch 1 checkpointed) and
+        # once immediately on the restart attempt
+        if int(s.step) == 3 and crashes["left"] > 0:
+            crashes["left"] -= 1
+            raise RuntimeError("injected device failure")
+        return real_step(s, b)
+
+    class Loader:
+        def __iter__(self):
+            for _ in range(2):
+                yield batch
+
+        def __len__(self):
+            return 2
+
+    log = tmp_path / "t.log"
+    trainer = Trainer(cfg, flaky_step, state, Loader(),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      log_path=str(log))
+    out = trainer.train(3, load_latest=False, fail_safe=True)
+    assert trainer.epoch == 3
+    assert int(out.step) == 6  # 3 epochs x 2 steps despite 2 crashes
+    assert crashes["left"] == 0
+    text = log.read_text()
+    assert "crashed (retry 1)" in text and "restarted from epoch 1" in text
+
+    # without fail_safe the injected failure propagates
+    crashes["left"] = 1
+    state2 = create_train_state(variables, tx)
+    trainer2 = Trainer(cfg, flaky_step, state2, Loader(),
+                       checkpoint_dir=str(tmp_path / "ckpt2"))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        trainer2.train(3, load_latest=False, fail_safe=False)
