@@ -90,11 +90,10 @@ class BatchTracker:
             tz, sx = self.template_size, self.search_size
 
             def one(variables, frame, box, text_ids, text_mask, flag):
-                framef = frame.astype(jnp.float32)
-                template, _ = sample_target_device(framef, box, tf, tz)
+                template, _ = sample_target_device(frame, box, tf, tz)
                 tbox = crop_box_normalized(box, tf)[None]
                 template_mask = anno2mask(tbox, tz // 16)
-                context, _ = sample_target_device(framef, box, sf, sx)
+                context, _ = sample_target_device(frame, box, sf, sx)
                 cbox = crop_box_normalized(box, sf)[None]
                 context_mask = anno2mask(cbox, sx // 16)
                 prompt = self.model.apply(
@@ -172,10 +171,9 @@ class BatchTracker:
             def fn(variables, state: BatchState, frames, template,
                    template_mask, text_ids, text_mask, flags):
                 S = frames.shape[0]
-                framef = frames.astype(jnp.float32)
                 crops, rf = jax.vmap(
                     lambda f, b: sample_target_device(f, b, self.search_factor, sz)
-                )(framef, state.box)
+                )(frames, state.box)
                 search = crops[:, 0]  # (S, sx, sx, 3)
                 out = model.apply(variables, template, search, text_ids,
                                   text_mask, state.prompt, flags,

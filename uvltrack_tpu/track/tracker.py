@@ -95,13 +95,12 @@ class JitTracker:
 
             @jax.jit
             def fn(variables, frame, box, text_ids, text_mask, flag):
-                framef = frame.astype(jnp.float32)
                 template, _ = sample_target_device(
-                    framef, box, self.template_factor, self.template_size)
+                    frame, box, self.template_factor, self.template_size)
                 tbox = crop_box_normalized(box, self.template_factor)[None]
                 template_mask = anno2mask(tbox, self.template_size // 16)
                 context, _ = sample_target_device(
-                    framef, box, self.search_factor, self.search_size)
+                    frame, box, self.search_factor, self.search_size)
                 cbox = crop_box_normalized(box, self.search_factor)[None]
                 context_mask = anno2mask(cbox, self.search_size // 16)
                 prompt = self.model.apply(
@@ -127,9 +126,8 @@ class JitTracker:
 
         def fn(variables, state: TrackerState, frame, template, template_mask,
                text_ids, text_mask, flag):
-                framef = frame.astype(jnp.float32)
                 search, resize_factor = sample_target_device(
-                    framef, state.box, self.search_factor, sz)
+                    frame, state.box, self.search_factor, sz)
                 out = self.model.apply(variables, template, search, text_ids,
                                        text_mask, state.prompt, flag,
                                        method=UVLTrack.forward_test)
