@@ -195,3 +195,46 @@ def test_load_bert_archive_targz(variables, tmp_path):
         new_params["backbone"]["bert_embeddings"]["LayerNorm"]["scale"],
         state["bert.embeddings.LayerNorm.gamma"].numpy())
     assert os.path.exists(archive)  # archive untouched
+
+
+def test_export_round_trips(variables, tmp_path):
+    """export_uvltrack is the exact inverse of convert_uvltrack, and
+    save_torch_checkpoint writes a reference-loadable {'net': ...} file."""
+    import torch
+
+    from uvltrack_tpu.models.convert import (convert_uvltrack,
+                                             export_uvltrack,
+                                             load_torch_file,
+                                             save_torch_checkpoint)
+
+    params = variables["params"]
+    bstats = variables["batch_stats"]
+    import re
+
+    ref_state = _reference_style_state(params, bstats)
+    ref_state.pop("box_head.prompter.q.weight")  # dead key, not exported
+    p2, b2, unused = convert_uvltrack(ref_state, params, bstats)
+    assert unused == []
+    exported = export_uvltrack(p2, b2)
+    # the exporter emits modern LayerNorm names; normalize the old-style
+    # gamma/beta keys of the synthetic fixture the same way convert does
+    ref_state = {re.sub(r"\.gamma$", ".weight", re.sub(r"\.beta$", ".bias", k)): v
+                 for k, v in ref_state.items()}
+    for k, v in ref_state.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_allclose(exported[k], v, rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+    # nothing extra beyond the BN bookkeeping scalars
+    extra = set(exported) - set(ref_state)
+    assert all(k.endswith("num_batches_tracked") for k in extra)
+
+    # .pth.tar round trip through torch
+    path = str(tmp_path / "export.pth.tar")
+    save_torch_checkpoint(path, p2, b2, epoch=7)
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    assert loaded["epoch"] == 7
+    back = load_torch_file(path)
+    p3, b3, _ = convert_uvltrack(back, params, bstats)
+    for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -344,3 +344,28 @@ def test_tracker_sequence_parity(ctx, mode):
     assert err.max() < 2.0, (
         f"per-frame box divergence (max {err.max():.3f}px)\n"
         f"ref:\n{ref_boxes}\njax:\n{jax_boxes}")
+
+
+def test_export_loads_into_reference_model(ctx):
+    """export_uvltrack's state dict must load into the ACTUAL reference
+    model: after round-tripping the reference weights through the flax trees
+    and back, load_state_dict reports no unexpected keys and only known-dead
+    missing keys, and the reloaded reference model equals the original
+    weight-for-weight."""
+    from uvltrack_tpu.models.convert import export_uvltrack
+
+    ref_model = ctx["ref_model"]
+    variables = ctx["variables"]
+    exported = {k: torch.from_numpy(np.asarray(v).copy())
+                for k, v in export_uvltrack(variables["params"],
+                                            variables["batch_stats"]).items()}
+    missing, unexpected = ref_model.load_state_dict(exported, strict=False)
+    assert not [k for k in unexpected if not _is_dead_key(k)], unexpected
+    assert not [k for k in missing if not _is_dead_key(k)], missing
+    # weights identical to the originals the ctx started from
+    orig = torch.load(ctx["ckpt_path"], map_location="cpu",
+                      weights_only=False)["net"]
+    for k, v in exported.items():
+        if k in orig:
+            np.testing.assert_allclose(v.numpy(), orig[k].numpy(),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)

@@ -147,45 +147,7 @@ def convert_uvltrack(state: Dict[str, np.ndarray], params: dict,
              for k, v in state.items()}
     params = copy.deepcopy(jax_tree_to_py(params))
     batch_stats = copy.deepcopy(jax_tree_to_py(batch_stats))
-
-    depth = sum(1 for k in params["backbone"] if k.startswith("block_"))
-    n_bert = sum(1 for k in params["backbone"] if k.startswith("bert_layer_"))
-
-    rules = [
-        ("logit_scale", ["backbone", "logit_scale"], None),
-        ("vit.cls_token", ["backbone", "cls_token"], None),
-        ("vit.pos_embed_z", ["backbone", "pos_embed_z"], None),
-        ("vit.pos_embed_x", ["backbone", "pos_embed_x"], None),
-        ("vit.modal_embed", ["backbone", "modal_embed"], None),
-        ("vit.patch_embed.proj.weight",
-         ["backbone", "patch_embed", "proj", "kernel"], _t_conv),
-        ("vit.patch_embed.proj.bias",
-         ["backbone", "patch_embed", "proj", "bias"], None),
-        ("box_head.logit_scale", ["head", "logit_scale"], None),
-        ("box_head.prompter.logit_scale", ["head", "prompter", "logit_scale"], None),
-        ("box_head.prompter.query_embed.weight",
-         ["head", "prompter", "query_embed"], None),
-        ("box_head.prompter.mlp.fc1.weight",
-         ["head", "prompter", "mlp", "fc1", "kernel"], _t_linear),
-        ("box_head.prompter.mlp.fc1.bias",
-         ["head", "prompter", "mlp", "fc1", "bias"], None),
-        ("box_head.prompter.mlp.fc2.weight",
-         ["head", "prompter", "mlp", "fc2", "kernel"], _t_linear),
-        ("box_head.prompter.mlp.fc2.bias",
-         ["head", "prompter", "mlp", "fc2", "bias"], None),
-    ]
-    for i in range(depth):
-        rules += [(f"vit.{s}", d, t) for s, d, t in _vit_block_rules(i, "backbone")]
-    rules += [(f"bert.{s}", d, t) for s, d, t in _bert_embed_rules("", "backbone")]
-    for i in range(n_bert):
-        rules += [(f"bert.{s}", d, t)
-                  for s, d, t in _bert_layer_rules(i, "", "backbone")]
-    for tower in ("conv_cls", "conv_offset", "conv_bbox", "conv_bbox_grounding"):
-        rules += _tower_rules(f"box_head.{tower}", tower)
-
-    bn_rules = []
-    for tower in ("conv_cls", "conv_offset", "conv_bbox", "conv_bbox_grounding"):
-        bn_rules += _tower_bn_stats(f"box_head.{tower}", tower)
+    rules, bn_rules = _uvltrack_rules(params)
 
     # the reference prefixes everything with 'backbone.' / 'box_head.'
     used = set()
@@ -326,3 +288,92 @@ def jax_tree_to_py(tree):
     if isinstance(tree, dict):
         return {k: jax_tree_to_py(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+def _get(tree: dict, path: List[str]) -> np.ndarray:
+    node = tree
+    for k in path:
+        node = node[k]
+    return np.asarray(node)
+
+
+def _uvltrack_rules(params: dict):
+    """The full (src_key, dst_path, transform) table convert_uvltrack uses,
+    materialized for reuse by the exporter."""
+    depth = sum(1 for k in params["backbone"] if k.startswith("block_"))
+    n_bert = sum(1 for k in params["backbone"] if k.startswith("bert_layer_"))
+    rules = [
+        ("logit_scale", ["backbone", "logit_scale"], None),
+        ("vit.cls_token", ["backbone", "cls_token"], None),
+        ("vit.pos_embed_z", ["backbone", "pos_embed_z"], None),
+        ("vit.pos_embed_x", ["backbone", "pos_embed_x"], None),
+        ("vit.modal_embed", ["backbone", "modal_embed"], None),
+        ("vit.patch_embed.proj.weight",
+         ["backbone", "patch_embed", "proj", "kernel"], _t_conv),
+        ("vit.patch_embed.proj.bias",
+         ["backbone", "patch_embed", "proj", "bias"], None),
+        ("box_head.logit_scale", ["head", "logit_scale"], None),
+        ("box_head.prompter.logit_scale", ["head", "prompter", "logit_scale"], None),
+        ("box_head.prompter.query_embed.weight",
+         ["head", "prompter", "query_embed"], None),
+        ("box_head.prompter.mlp.fc1.weight",
+         ["head", "prompter", "mlp", "fc1", "kernel"], _t_linear),
+        ("box_head.prompter.mlp.fc1.bias",
+         ["head", "prompter", "mlp", "fc1", "bias"], None),
+        ("box_head.prompter.mlp.fc2.weight",
+         ["head", "prompter", "mlp", "fc2", "kernel"], _t_linear),
+        ("box_head.prompter.mlp.fc2.bias",
+         ["head", "prompter", "mlp", "fc2", "bias"], None),
+    ]
+    for i in range(depth):
+        rules += [(f"vit.{s}", d, t) for s, d, t in _vit_block_rules(i, "backbone")]
+    rules += [(f"bert.{s}", d, t) for s, d, t in _bert_embed_rules("", "backbone")]
+    for i in range(n_bert):
+        rules += [(f"bert.{s}", d, t)
+                  for s, d, t in _bert_layer_rules(i, "", "backbone")]
+    for tower in ("conv_cls", "conv_offset", "conv_bbox", "conv_bbox_grounding"):
+        rules += _tower_rules(f"box_head.{tower}", tower)
+    bn_rules = []
+    for tower in ("conv_cls", "conv_offset", "conv_bbox", "conv_bbox_grounding"):
+        bn_rules += _tower_bn_stats(f"box_head.{tower}", tower)
+    return rules, bn_rules
+
+
+def export_uvltrack(params: dict, batch_stats: dict) -> Dict[str, np.ndarray]:
+    """Inverse of convert_uvltrack: flax trees -> a reference-keyed torch
+    state dict ('backbone.vit...', 'box_head...'), with kernels transposed
+    back to torch layouts. Round-trips exactly (tests/test_convert.py) —
+    useful for exporting a TPU-trained model to the PyTorch reference, or
+    diffing checkpoints across frameworks.
+
+    The transforms are involutions on the layouts used here: linear kernels
+    transpose back with .T, conv kernels invert (kh,kw,I,O)->(O,I,kh,kw)."""
+    params = jax_tree_to_py(params)
+    batch_stats = jax_tree_to_py(batch_stats)
+    rules, bn_rules = _uvltrack_rules(params)
+    state: Dict[str, np.ndarray] = {}
+    for src, dst, tf in rules:
+        v = _get(params, dst)
+        if tf is _t_linear:
+            v = np.ascontiguousarray(v.T)
+        elif tf is _t_conv:
+            v = np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+        prefix = "backbone." if src.startswith(("vit.", "bert.", "logit_scale")) else ""
+        state[prefix + src] = v
+    for src, dst, _ in bn_rules:
+        state[src] = _get(batch_stats, dst)
+        # torch BN checkpoints carry num_batches_tracked; emit a scalar
+        nb = src.rsplit(".", 1)[0] + ".num_batches_tracked"
+        state.setdefault(nb, np.asarray(0, np.int64))
+    return state
+
+
+def save_torch_checkpoint(path: str, params: dict, batch_stats: dict,
+                          epoch: int = 0) -> None:
+    """Write a reference-loadable .pth.tar ({'net': state, 'epoch': N},
+    cf. lib/test/tracker/uvltrack.py:24 reading ['net'])."""
+    import torch
+
+    state = {k: torch.from_numpy(np.asarray(v).copy())
+             for k, v in export_uvltrack(params, batch_stats).items()}
+    torch.save({"net": state, "epoch": epoch}, path)
