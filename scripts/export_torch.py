@@ -34,25 +34,34 @@ def main(argv=None):
     from uvltrack_tpu.train.checkpoint import CheckpointManager
 
     settings = env_settings()
-    cfg = load_cfg(os.path.join(settings.repo_dir, "experiments", args.script,
-                                f"{args.config}.yaml"))
-    model = build_model(cfg)
-    variables = init_model(model, cfg, jax.random.PRNGKey(0))
-    params, bstats = variables["params"], variables.get("batch_stats", {})
-    epoch = 0
+    from uvltrack_tpu.eval.environment import (experiment_cfg_path,
+                                               train_checkpoint_dir)
 
-    ckpt_dir = args.checkpoint or os.path.join(
-        settings.repo_dir, "checkpoints", "train", args.script, args.config)
-    mgr = CheckpointManager(ckpt_dir)
-    if mgr.has_checkpoint():
-        from uvltrack_tpu.train.optim import build_optimizer
-        from uvltrack_tpu.train.step import create_train_state
+    cfg = load_cfg(experiment_cfg_path(settings, args.script, args.config))
+    ckpt = args.checkpoint or train_checkpoint_dir(
+        settings, args.script, args.config)
+    state_dict = None
+    if os.path.isfile(ckpt):  # a specific .msgpack file
+        state_dict, _, epoch = CheckpointManager(
+            os.path.dirname(ckpt)).restore_raw(path=ckpt)
+    elif os.path.isdir(ckpt):
+        mgr = CheckpointManager(ckpt)
+        if mgr.has_checkpoint():
+            state_dict, _, epoch = mgr.restore_raw()
+    elif args.checkpoint:
+        raise SystemExit(f"checkpoint not found: {ckpt}")
 
-        tx = build_optimizer(cfg, params, steps_per_epoch=1)
-        state, _, epoch = mgr.restore(create_train_state(variables, tx))
-        params, bstats = state.params, state.batch_stats
-        print(f"exporting epoch {epoch} from {ckpt_dir}")
+    if state_dict is not None:
+        # restore_raw returns the TrainState as plain nested dicts keyed by
+        # field name — no model init or optimizer template needed
+        params, bstats = state_dict["params"], state_dict["batch_stats"]
+        epoch = int(epoch)
+        print(f"exporting epoch {epoch} from {ckpt}")
     else:
+        model = build_model(cfg)
+        variables = init_model(model, cfg, jax.random.PRNGKey(0))
+        params, bstats = variables["params"], variables.get("batch_stats", {})
+        epoch = 0
         print("no checkpoint found; exporting the random init")
 
     save_torch_checkpoint(args.out, params, bstats, epoch=epoch)

@@ -238,3 +238,30 @@ def test_export_round_trips(variables, tmp_path):
     p3, b3, _ = convert_uvltrack(back, params, bstats)
     for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(p3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_export_passthrough_and_bf16(variables, tmp_path):
+    """num_batches_tracked passthrough preserves imported counters; bf16
+    trees upcast instead of crashing torch.from_numpy."""
+    import jax.numpy as jnp
+
+    from uvltrack_tpu.models.convert import export_uvltrack
+
+    params = variables["params"]
+    bstats = variables["batch_stats"]
+    nb_key = "box_head.conv_cls.0.1.num_batches_tracked"
+    exported = export_uvltrack(params, bstats,
+                               passthrough={nb_key: np.asarray(120000)})
+    assert int(exported[nb_key]) == 120000
+    # others default to 0
+    assert int(exported["box_head.conv_bbox.0.1.num_batches_tracked"]) == 0
+
+    from uvltrack_tpu.models.uvltrack import cast_inference_variables
+
+    cast = cast_inference_variables({"params": params, "batch_stats": bstats},
+                                    jnp.bfloat16)
+    exported16 = export_uvltrack(cast["params"], cast["batch_stats"])
+    import torch
+
+    t = torch.from_numpy(exported16["backbone.vit.blocks.0.attn.qkv.weight"].copy())
+    assert t.dtype == torch.float32

@@ -352,9 +352,13 @@ def test_export_loads_into_reference_model(ctx):
     and back, load_state_dict reports no unexpected keys and only known-dead
     missing keys, and the reloaded reference model equals the original
     weight-for-weight."""
+    import copy
+
     from uvltrack_tpu.models.convert import export_uvltrack
 
-    ref_model = ctx["ref_model"]
+    # deepcopy: load_state_dict would mutate the module-scoped fixture's
+    # model, contaminating tolerance-based parity tests under reordering
+    ref_model = copy.deepcopy(ctx["ref_model"])
     variables = ctx["variables"]
     exported = {k: torch.from_numpy(np.asarray(v).copy())
                 for k, v in export_uvltrack(variables["params"],

@@ -50,8 +50,8 @@ def main(argv=None):
     from ..train.trainer import Trainer
 
     settings = env_settings()
-    cfg = load_cfg(os.path.join(settings.repo_dir, "experiments", args.script,
-                                f"{args.config}.yaml"))
+    from ..eval.environment import experiment_cfg_path, train_checkpoint_dir
+    cfg = load_cfg(experiment_cfg_path(settings, args.script, args.config))
     if args.epochs:
         cfg.TRAIN.EPOCH = args.epochs
     if args.batch_size:
@@ -97,8 +97,7 @@ def main(argv=None):
         zero1=bool(cfg.TPU.ZERO1) and n_data > 1, state=state)
     eval_step = jax.jit(make_eval_step(model, cfg))
 
-    ckpt_dir = os.path.join(settings.repo_dir, "checkpoints", "train",
-                            args.script, args.config)
+    ckpt_dir = train_checkpoint_dir(settings, args.script, args.config)
     log_path = os.path.join(args.save_dir, "logs", f"{args.script}-{args.config}.log")
     trainer = Trainer(cfg, train_step, state, train_loader, val_loaders,
                       eval_step=eval_step, checkpoint_dir=ckpt_dir,

@@ -91,3 +91,18 @@ def env_settings(repo_dir: str | None = None) -> EnvSettings:
 def reset_env_cache():
     global _CACHED
     _CACHED = None
+
+
+def experiment_cfg_path(settings: EnvSettings, script: str, config: str) -> str:
+    """<repo>/experiments/<script>/<config>.yaml — the one layout every CLI
+    shares (keep cli/train, cli/test, analyze, profile, demo, pack, parity
+    and scripts/export_torch in lockstep)."""
+    return os.path.join(settings.repo_dir, "experiments", script,
+                        f"{config}.yaml")
+
+
+def train_checkpoint_dir(settings: EnvSettings, script: str, config: str) -> str:
+    """<repo>/checkpoints/train/<script>/<config> — where cli/train saves and
+    cli/test --test_checkpoint-less runs and export_torch look."""
+    return os.path.join(settings.repo_dir, "checkpoints", "train", script,
+                        config)

@@ -339,41 +339,63 @@ def _uvltrack_rules(params: dict):
     return rules, bn_rules
 
 
-def export_uvltrack(params: dict, batch_stats: dict) -> Dict[str, np.ndarray]:
+def export_uvltrack(params: dict, batch_stats: dict,
+                    passthrough: Dict[str, np.ndarray] = None
+                    ) -> Dict[str, np.ndarray]:
     """Inverse of convert_uvltrack: flax trees -> a reference-keyed torch
     state dict ('backbone.vit...', 'box_head...'), with kernels transposed
-    back to torch layouts. Round-trips exactly (tests/test_convert.py) —
-    useful for exporting a TPU-trained model to the PyTorch reference, or
-    diffing checkpoints across frameworks.
+    back to torch layouts. Round-trips exactly on weights and BN running
+    stats (tests/test_convert.py) — useful for exporting a TPU-trained model
+    to the PyTorch reference, or diffing checkpoints across frameworks.
+
+    passthrough: extra reference keys carried through verbatim — pass the
+    `unused` list data from convert_uvltrack to preserve bookkeeping buffers
+    like BN num_batches_tracked (they have no flax-side home; without
+    passthrough they are emitted as 0). bf16 trees (cast_inference_variables
+    output) are upcast to float32 — torch.from_numpy cannot take ml_dtypes.
 
     The transforms are involutions on the layouts used here: linear kernels
     transpose back with .T, conv kernels invert (kh,kw,I,O)->(O,I,kh,kw)."""
+
+    def up(v):
+        v = np.asarray(v)
+        return v.astype(np.float32) if v.dtype.kind in "fV" and v.dtype.itemsize < 4 else v
+
     params = jax_tree_to_py(params)
     batch_stats = jax_tree_to_py(batch_stats)
     rules, bn_rules = _uvltrack_rules(params)
     state: Dict[str, np.ndarray] = {}
     for src, dst, tf in rules:
-        v = _get(params, dst)
+        v = up(_get(params, dst))
         if tf is _t_linear:
             v = np.ascontiguousarray(v.T)
         elif tf is _t_conv:
             v = np.ascontiguousarray(v.transpose(3, 2, 0, 1))
+        else:
+            # fail fast if the shared rules table ever grows a transform the
+            # exporter does not know how to invert
+            assert tf is None, f"no inverse for transform of {src}"
         prefix = "backbone." if src.startswith(("vit.", "bert.", "logit_scale")) else ""
         state[prefix + src] = v
     for src, dst, _ in bn_rules:
-        state[src] = _get(batch_stats, dst)
-        # torch BN checkpoints carry num_batches_tracked; emit a scalar
+        state[src] = up(_get(batch_stats, dst))
+        # torch BN checkpoints carry num_batches_tracked (no flax-side home)
         nb = src.rsplit(".", 1)[0] + ".num_batches_tracked"
-        state.setdefault(nb, np.asarray(0, np.int64))
+        if passthrough and nb in passthrough:
+            state[nb] = np.asarray(passthrough[nb])
+        else:
+            state.setdefault(nb, np.asarray(0, np.int64))
     return state
 
 
 def save_torch_checkpoint(path: str, params: dict, batch_stats: dict,
-                          epoch: int = 0) -> None:
+                          epoch: int = 0,
+                          passthrough: Dict[str, np.ndarray] = None) -> None:
     """Write a reference-loadable .pth.tar ({'net': state, 'epoch': N},
     cf. lib/test/tracker/uvltrack.py:24 reading ['net'])."""
     import torch
 
     state = {k: torch.from_numpy(np.asarray(v).copy())
-             for k, v in export_uvltrack(params, batch_stats).items()}
+             for k, v in export_uvltrack(params, batch_stats,
+                                         passthrough=passthrough).items()}
     torch.save({"net": state, "epoch": epoch}, path)
