@@ -103,5 +103,13 @@ def test_train_and_val_loaders_feed_real_train_steps(tmp_path, monkeypatch):
         m = eval_step(state, jax.tree_util.tree_map(jnp.asarray, vb))
         assert np.isfinite(float(m["Loss/total"]))
         assert "IoU" in m and "Acc@0.5" in m
+        # the other two val families (tracking_test / vl_test sampler modes)
+        # produce batches with the pinned flags
+        vt = next(iter(val_loaders["valtrack"]))
+        assert set(np.asarray(vt["flag"]).tolist()) <= {0}
+        vv = next(iter(val_loaders["valvl"]))
+        assert set(np.asarray(vv["flag"]).tolist()) <= {2}
+        assert vt["search_images"].shape == vv["search_images"].shape == \
+            (2, 4, 64, 64, 3)
     finally:
         reset_env_cache()
