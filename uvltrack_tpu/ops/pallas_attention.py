@@ -220,9 +220,12 @@ def pallas_attention(q, k, v, bias=None):
     if not (_HAS_PALLAS and _on_tpu()):
         return None
     b, h, n, d = q.shape
-    if n < 128:
-        # short sequences (the 40-token BERT layers) are overhead-bound and
-        # XLA's fusion ties or wins there (measured: 16.8 vs 17.5 us at N=40)
+    if n < int(__import__("os").environ.get("UVLTRACK_PALLAS_MIN_N", "128")):
+        # short sequences (the 40-token BERT layers): the kernel wins at the
+        # op level (12.9 vs 14.0 us) but loses end-to-end to the layout
+        # copies around the classic (B,H,N,D) path — measured 841 FPS with
+        # the gate at 32 vs the 970-class runs at 128. Tunable for
+        # experiments via UVLTRACK_PALLAS_MIN_N.
         return None
     if bias is None:
         key_bias = jnp.zeros((b, n), jnp.float32)
