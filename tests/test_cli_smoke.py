@@ -83,6 +83,11 @@ def test_analyze_per_seq_and_got_json(tmp_path, monkeypatch):
 
     args = ["--dataset_name", "fakebench"]
     analyze.main(args)                                   # aggregate scores
+    analyze.main(args + ["--save_file", str(tmp_path / "report.txt")])
+    assert "AUC=" in (tmp_path / "report.txt").read_text()
+    analyze.main(args + ["--per_seq", "--save_file",
+                         str(tmp_path / "per_seq.txt")])
+    assert "seqA" in (tmp_path / "per_seq.txt").read_text()
     analyze.main(args + ["--per_seq"])                   # per-sequence table
     analyze.main(args + ["--per_seq", "--filter", "ao_min:50"])
     (tmp_path / "r.json").write_text(json.dumps(

@@ -38,6 +38,9 @@ def main(argv=None):
                         "(plot_results.py:381 plot_got_success)")
     p.add_argument("--plot_dir", default=None,
                    help="output dir for plots (default: the results dir)")
+    p.add_argument("--save_file", default=None,
+                   help="also write the report text to this file "
+                        "(plot_results.py:318 print_results save_file)")
     args = p.parse_args(argv)
 
     from ..config import load_cfg
@@ -76,15 +79,22 @@ def main(argv=None):
         if args.filter:
             mode, thr = args.filter.split(":")
             criteria = {"mode": mode, "threshold": float(thr)}
-        per_sequence_results({f"{args.tracker_name}/{args.tracker_param}":
-                              results_dir}, dataset, criteria)
+        text = per_sequence_results({f"{args.tracker_name}/{args.tracker_param}":
+                                     results_dir}, dataset, criteria)
+        if args.save_file:
+            with open(args.save_file, "w") as f:
+                f.write(text)
         return
 
     scores = evaluate_results_dir(results_dir, dataset)
-    print(f"{args.tracker_name}/{args.tracker_param} on {args.dataset_name}: "
-          f"AUC={scores['AUC']:.2f} OP50={scores['OP50']:.2f} "
-          f"OP75={scores['OP75']:.2f} P={scores['Precision']:.2f} "
-          f"Pnorm={scores['NormPrec']:.2f}")
+    line = (f"{args.tracker_name}/{args.tracker_param} on {args.dataset_name}: "
+            f"AUC={scores['AUC']:.2f} OP50={scores['OP50']:.2f} "
+            f"OP75={scores['OP75']:.2f} P={scores['Precision']:.2f} "
+            f"Pnorm={scores['NormPrec']:.2f}")
+    print(line)
+    if args.save_file:
+        with open(args.save_file, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
