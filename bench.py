@@ -210,7 +210,9 @@ def main():
     except Exception as e:  # pallas kernel may be unsupported on this runtime
         if attention.get_backend() == "pallas":
             log(f"pallas path failed ({e}); falling back to XLA attention")
-            attention.set_backend("xla")
+            # pin, not set: later extras call build_model -> configure_attention
+            # -> set_backend("pallas"), which would re-enable the broken path
+            attention.force_backend("xla")
             tracker.jt._step_cache.clear()
             tracker.jt._init_cache.clear()
             fps_b, lat = bench_single(tracker, pool, warmup, iters)

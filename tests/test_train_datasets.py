@@ -225,3 +225,45 @@ def test_webuav_adapter(tmp_path):
     frames, annos, meta = ds.get_frames(0, [0, 1], info)
     assert len(frames) == 2 and np.allclose(annos["bbox"][1], [11, 21, 31, 41])
     assert meta["language"] == "a drone flying low"
+
+
+def test_got10k_missing_split_raises(tmp_path, monkeypatch):
+    """A requested split whose table is absent must raise — silently using
+    the full list would make vottrain == votval (val contamination;
+    got10k.py:51-55 hard-depends on the files)."""
+    from uvltrack_tpu.data.datasets import video_datasets
+
+    (tmp_path / "train").mkdir()
+    (tmp_path / "train" / "list.txt").write_text("GOT-10k_Train_000001\n")
+    monkeypatch.setattr(video_datasets, "_repo_data_specs",
+                        lambda: str(tmp_path / "no_specs_dir"))
+    with pytest.raises(FileNotFoundError, match="vottrain"):
+        Got10k(str(tmp_path), split="vottrain")
+    with pytest.raises(ValueError, match="bogus"):
+        Got10k(str(tmp_path), split="bogus")
+
+
+def test_lasot_missing_split_raises(tmp_path, monkeypatch):
+    from uvltrack_tpu.data.datasets import video_datasets
+
+    monkeypatch.setattr(video_datasets, "_repo_data_specs",
+                        lambda: str(tmp_path / "no_specs_dir"))
+    with pytest.raises(FileNotFoundError, match="contamination"):
+        Lasot(str(tmp_path), split="train")
+
+
+def test_bundled_split_tables_load(tmp_path):
+    """The published pytracking split tables ship in <repo>/data_specs and
+    resolve without any dataset-root override (lib/train/data_specs/)."""
+    n = 9335  # got10k_train_full_split covers ids up to 9334
+    (tmp_path / "train").mkdir()
+    (tmp_path / "train" / "list.txt").write_text(
+        "\n".join(f"GOT-10k_Train_{i:06d}" for i in range(1, n + 1)) + "\n")
+    assert Got10k(str(tmp_path), split="vottrain").get_num_sequences() == 7086
+    assert Got10k(str(tmp_path), split="votval").get_num_sequences() == 1249
+    assert Got10k(str(tmp_path), split="ltrval").get_num_sequences() == 1401
+
+    ds = Lasot(str(tmp_path), split="train")
+    assert ds.get_num_sequences() == 1120
+    assert ds.sequence_list[0] == "airplane-10"
+    assert Lasot(str(tmp_path), split="test").get_num_sequences() == 280

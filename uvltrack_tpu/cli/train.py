@@ -92,9 +92,16 @@ def main(argv=None):
 
     tx = build_optimizer(cfg, variables["params"], steps_per_epoch)
     state = create_train_state(variables, tx)
+    use_zero1 = bool(cfg.TPU.ZERO1) and n_data > 1
+    if use_zero1:
+        # place the moments sharded BEFORE step 1: the step's out_shardings
+        # shard them, and a replicated donated input can't alias a sharded
+        # output (donation warning + transient double memory otherwise)
+        from ..parallel.mesh import zero1_state_shardings
+
+        state = jax.device_put(state, zero1_state_shardings(mesh, state))
     train_step = jit_sharded_train_step(
-        make_train_step(model, tx, cfg), mesh,
-        zero1=bool(cfg.TPU.ZERO1) and n_data > 1, state=state)
+        make_train_step(model, tx, cfg), mesh, zero1=use_zero1, state=state)
     eval_step = jax.jit(make_eval_step(model, cfg))
 
     ckpt_dir = train_checkpoint_dir(settings, args.script, args.config)

@@ -19,6 +19,13 @@ import numpy as np
 from .base import BaseVideoDataset
 
 
+def _repo_data_specs() -> str:
+    """<repo>/data_specs — bundled published split tables (the reference
+    ships the same constant files under lib/train/data_specs/)."""
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))), "data_specs")
+
+
 def _load_csv(path: str) -> np.ndarray:
     for d in (",", "\t", " "):
         try:
@@ -51,13 +58,25 @@ class Lasot(BaseVideoDataset):
         self.sequence_list = self._list_sequences(split)
 
     def _list_sequences(self, split) -> List[str]:
-        split_file = os.path.join(self.root, f"{split}ing_set.txt")
-        if os.path.exists(split_file):
-            with open(split_file) as f:
+        """Sequence names for the protocol-II split (lasot.py:52-60 /
+        lasot_test.py:53-59 use the published lasot_{train,test}_split.txt).
+        Resolution order: dataset-root override file, then the bundled
+        data_specs table. NO silent fall-through to all sequences — a missing
+        split file would silently merge train and test (val contamination)."""
+        legacy = os.path.join(self.root, f"{split}ing_set.txt")
+        if os.path.exists(legacy):
+            with open(legacy) as f:
                 return [l.strip() for l in f if l.strip()]
-        seqs = sorted(os.path.basename(p.rstrip(os.sep)) for p in
-                      glob.glob(os.path.join(self.root, "*", "*-*" + os.sep)))
-        return seqs
+        fname = f"lasot_{split}_split.txt"
+        for cand in (os.path.join(self.root, fname),
+                     os.path.join(_repo_data_specs(), fname)):
+            if os.path.exists(cand):
+                with open(cand) as f:
+                    return [l.strip() for l in f if l.strip()]
+        raise FileNotFoundError(
+            f"LaSOT split '{split}': no {split}ing_set.txt in {self.root} and "
+            f"no {fname} in {self.root} or <repo>/data_specs/. Refusing to "
+            f"fall back to ALL sequences (train/test contamination).")
 
     def is_grounding_sequence(self):
         return True
@@ -97,6 +116,12 @@ class LasotExt(Lasot):
         super().__init__(root, split="train", image_loader=image_loader,
                          name="lasotext")
 
+    def _list_sequences(self, split) -> List[str]:
+        # LaSOT-ext has no split table: the reference globs every sequence
+        # (lasotext.py:54) — the extension set is train-only by construction
+        return sorted(os.path.basename(p.rstrip(os.sep)) for p in
+                      glob.glob(os.path.join(self.root, "*", "*-*" + os.sep)))
+
     def is_grounding_sequence(self):
         return False
 
@@ -111,22 +136,33 @@ class Got10k(BaseVideoDataset):
         super().__init__("got10k", root, image_loader or opencv_loader)
         self.split = split
         base = os.path.join(root, "train")
-        list_file = {
+        split_tables = {
             "vottrain": "got10k_vot_train_split.txt",
             "votval": "got10k_vot_val_split.txt",
             "ltrtrain": "got10k_train_split.txt",
             "ltrval": "got10k_val_split.txt",
-            "train": None,
-        }.get(split)
+            "train": None,  # the full official train list (list.txt)
+        }
+        if split not in split_tables:
+            raise ValueError(f"unknown GOT-10k split '{split}' "
+                             f"(known: {sorted(split_tables)})")
+        list_file = split_tables[split]
         with open(os.path.join(base, "list.txt")) as f:
             all_seqs = [l.strip() for l in f if l.strip()]
-        split_path = self._find_split_file(root, list_file)
-        if split_path:
+        if list_file is None:
+            self.sequence_list = all_seqs
+        else:
+            split_path = self._find_split_file(root, list_file)
+            if split_path is None:
+                # got10k.py:51-55 hard-depends on these files; silently using
+                # ALL sequences would make vottrain == votval (contamination)
+                raise FileNotFoundError(
+                    f"GOT-10k split '{split}': {list_file} not found in "
+                    f"{root} or <repo>/data_specs/. Refusing to fall back "
+                    f"to the full sequence list.")
             with open(split_path) as f:
                 ids = [int(l) for l in f if l.strip()]
             self.sequence_list = [all_seqs[i] for i in ids]
-        else:
-            self.sequence_list = all_seqs
         self.base = base
 
     @staticmethod
@@ -136,10 +172,8 @@ class Got10k(BaseVideoDataset):
         published files there (parity: lib/train/data_specs/)."""
         if not list_file:
             return None
-        repo = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))))
         for cand in (os.path.join(root, list_file),
-                     os.path.join(repo, "data_specs", list_file)):
+                     os.path.join(_repo_data_specs(), list_file)):
             if os.path.exists(cand):
                 return cand
         return None

@@ -209,7 +209,10 @@ def load_bert_archive(path: str) -> Dict[str, np.ndarray]:
                            if os.path.basename(m.name) == weights_name), None)
             if member is None:
                 raise FileNotFoundError(f"{weights_name} not in {path}")
-            archive.extract(member, tmp, filter="data")
+            try:
+                archive.extract(member, tmp, filter="data")
+            except TypeError:  # pre-PEP-706 interpreters lack filter=
+                archive.extract(member, tmp)
             return load_torch_file(os.path.join(tmp, member.name))
     return load_torch_file(path)
 

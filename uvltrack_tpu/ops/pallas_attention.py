@@ -200,7 +200,9 @@ def pallas_attention_qkv(qkv, heads: int, bias=None):
     if not (_HAS_PALLAS and _on_tpu()):
         return None
     b, n, f = qkv.shape
-    if n < 128:
+    # same tunable gate as pallas_attention below (keeps the two entry points
+    # consistent): short sequences lose end-to-end to layout copies
+    if n < int(__import__("os").environ.get("UVLTRACK_PALLAS_MIN_N", "128")):
         return None
     if bias is None:
         key_bias = jnp.zeros((b, n), jnp.float32)
