@@ -185,20 +185,27 @@ def test_forward_test_parity(ctx, flag_val):
 
 def test_train_forward_and_loss_parity(ctx):
     """The full training objective vs lib/train/actors/uvltrack.py:135-177 on
-    an identical mixed-flag batch (n=2 search frames, b=2)."""
+    an identical batch covering all three flags (n=2 search frames, b=3:
+    BBOX / grounding / NL+BBOX). The flag=1 row follows the grounding
+    processing contract (lib/train/data/processing.py:297-298): zero template
+    image, zero template anno."""
     from lib import registry as ref_registry
     import lib.train.actors  # noqa: F401
 
     ref_cfg = ctx["ref_cfg"]
     actor = ref_registry.ACTORS["uvltrack"](ctx["ref_model"], ref_cfg)
 
-    n, b = 2, B
+    n, b = 2, 3
     rng = np.random.default_rng(7)
     template = rng.normal(size=(1, b, 128, 128, 3)).astype(np.float32)
     search = rng.normal(size=(n, b, 256, 256, 3)).astype(np.float32)
     t_anno = np.stack([np.stack([
         np.array([0.3, 0.3, 0.4, 0.4], np.float32),
+        np.array([0.28, 0.32, 0.35, 0.35], np.float32),
         np.array([0.25, 0.35, 0.3, 0.3], np.float32)])])
+    # grounding sample: zeroed template image + anno
+    template[:, 1] = 0.0
+    t_anno[:, 1] = 0.0
     s_anno = rng.uniform(0.15, 0.35, size=(n, b, 4)).astype(np.float32)
     s_anno[..., 2:] = rng.uniform(0.2, 0.4, size=(n, b, 2))
     # Gaussian cls maps (any fixed map works for parity; both sides get it)
@@ -210,7 +217,7 @@ def test_train_forward_and_loss_parity(ctx):
     ids = rng.integers(100, 30000, size=(n, b, NT)).astype(np.int64)
     mask = np.ones((n, b, NT), np.float32)
     mask[..., 25:] = 0.0
-    flag = np.array([[0], [2]], np.int64)  # one BBOX sample, one NL+BBOX
+    flag = np.array([[0], [1], [2]], np.int64)  # BBOX / grounding / NL+BBOX
 
     data = {
         "template_images": torch.tensor(template).permute(0, 1, 4, 2, 3),
@@ -313,13 +320,15 @@ def _make_jax_tracker(ctx, vocab_path, mode):
                    tokenizer=BertTokenizer(vocab_path))
 
 
-@pytest.mark.parametrize("mode", ["BBOX", "NL"])
+@pytest.mark.parametrize("mode", ["BBOX", "NL", "NLBBOX"])
 def test_tracker_sequence_parity(ctx, mode):
     """Per-frame boxes of the genuine reference tracker state machine vs the
-    jitted device tracker over a 20-frame synthetic clip, including interval
-    prompt re-mining (UPDATE_INTERVAL=10, THRESHOLD=0.05)."""
+    jitted device tracker over a 40-frame synthetic clip, long enough for >=3
+    interval prompt re-minings (UPDATE_INTERVAL=10, THRESHOLD=0.05). NLBBOX —
+    the shipped default mode (experiments/uvltrack/baseline_base.yaml:118) —
+    runs live text + real template + txt-token prompt updates together."""
     vocab_path = _write_vocab(ctx["tmpdir"])
-    frames, boxes = _clip()
+    frames, boxes = _clip(n_frames=40)
     info = {"init_bbox": boxes[0],
             "language": "the red box moving quickly"}
 
