@@ -82,15 +82,18 @@ def test_bf16_forward_matches_fp32_at_full_size(ctx):
             assert m16[i][m32[i].argmax()] >= m16[i].max() - tol, (key, i)
 
 
-def test_bf16_block_numerics_at_real_width(ctx):
-    """One 768-dim/12-head block in bf16 vs fp32 over 361 masked tokens:
+@pytest.mark.parametrize("n_tokens", [361, 681])
+def test_bf16_block_numerics_at_real_width(ctx, n_tokens):
+    """One 768-dim/12-head block in bf16 vs fp32 over masked tokens at both
+    shipped joint-sequence lengths — 361 (tracking, 256 search) and 681
+    (grounding pretrain, 384 search; baseline_base_grounding.yaml:12):
     relative error of the output stays at bf16 roundoff scale (the fp32
     softmax inside ops/attention.py is what keeps this bounded)."""
     from uvltrack_tpu.models.vit import VitBlock
 
     rng = np.random.default_rng(5)
-    x = rng.normal(size=(2, 361, 768)).astype(np.float32)
-    masked = rng.random((2, 361)) > 0.8
+    x = rng.normal(size=(2, n_tokens, 768)).astype(np.float32)
+    masked = rng.random((2, n_tokens)) > 0.8
 
     blk32 = VitBlock(768, 12, 4.0, jnp.float32)
     blk16 = VitBlock(768, 12, 4.0, jnp.bfloat16)

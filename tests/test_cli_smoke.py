@@ -95,4 +95,24 @@ def test_analyze_per_seq_and_got_json(tmp_path, monkeypatch):
     analyze.main(args + ["--got_json", f"T={tmp_path / 'r.json'}",
                          "--plot_dir", str(tmp_path / "plots")])
     assert (tmp_path / "plots" / "got_success_plot.png").exists()
+
+    # multi-run path: sibling <param>_<id:03d> dirs, eval_data cache, merge
+    for rid in (0, 1):
+        rd = (tmp_path / "output" / "test" / "tracking_results" / "uvltrack"
+              / f"baseline_base_{rid:03d}" / "fakebench_NLBBOX_0300")
+        rd.mkdir(parents=True)
+        np.savetxt(rd / "seqA.txt", anno + rid, delimiter="\t", fmt="%d")
+        np.savetxt(rd / "seqB.txt", anno + rid, delimiter="\t", fmt="%d")
+    merged_file = tmp_path / "merged.txt"
+    analyze.main(args + ["--run_ids", "0,1", "--merge",
+                         "--save_file", str(merged_file)])
+    text = merged_file.read_text()
+    assert "AUC" in text and "uvltrack_baseline_base" in text
+    plot_dir = (tmp_path / "output" / "test" / "tracking_results" / "plots"
+                / "uvltrack" / "baseline_base" / "fakebench_NLBBOX_0300")
+    assert (plot_dir / "eval_data.pkl").exists()
+    # second call hits the cache (results untouched -> same output)
+    analyze.main(args + ["--run_ids", "0,1", "--merge",
+                         "--save_file", str(merged_file)])
+    assert merged_file.read_text() == text
     reset_env_cache()

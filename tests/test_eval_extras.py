@@ -95,3 +95,64 @@ def test_plot_got_success(tmp_path):
                               "B": str(tmp_path / "b.json")},
                              str(tmp_path / "plots"))
     assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
+def test_extract_results_cache_and_merge(tmp_path):
+    """extract_results -> eval_data.pkl cache -> merge_multiple_runs flow
+    (plot_results.py:45-88,170-197): cache is reused when valid (results
+    deleted after first call), invalidated when the tracker set changes,
+    and merging two runs averages their curves."""
+    from uvltrack_tpu.eval.data import Sequence, SequenceList
+    from uvltrack_tpu.eval.metrics import (aggregate_scores,
+                                           check_and_load_precomputed_results,
+                                           eval_data_scores,
+                                           merge_multiple_runs)
+
+    anno = np.tile([10.0, 10, 20, 20], (6, 1))
+    ds = SequenceList([Sequence("s1", [], "otb99", anno.copy()),
+                       Sequence("s2", [], "otb99", anno.copy())])
+    runs = []
+    for r, shift in ((0, 0.0), (1, 6.0)):
+        d = tmp_path / f"run{r}"
+        d.mkdir()
+        for s in ds:
+            np.savetxt(d / f"{s.name}.txt",
+                       anno + np.array([shift, 0, 0, 0]), delimiter="\t",
+                       fmt="%d")
+        runs.append({"name": "uvltrack", "param": "base", "run_id": r,
+                     "results_dir": str(d)})
+
+    plot_dir = str(tmp_path / "plots")
+    data = check_and_load_precomputed_results(runs, ds, plot_dir)
+    assert (tmp_path / "plots" / "eval_data.pkl").exists()
+    succ = np.asarray(data["ave_success_rate_plot_overlap"])
+    assert succ.shape == (2, 2, 21)
+
+    # cache hit: delete the result files; the scores must still come back
+    for r in (0, 1):
+        for s in ds:
+            (tmp_path / f"run{r}" / f"{s.name}.txt").unlink()
+    data2 = check_and_load_precomputed_results(runs, ds, plot_dir)
+    np.testing.assert_allclose(
+        np.asarray(data2["ave_success_rate_plot_overlap"]), succ)
+
+    # invalidation: different tracker set must recompute -> missing files
+    other = [dict(runs[0], run_id=7)]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        check_and_load_precomputed_results(other, ds, plot_dir)
+
+    # merge: two runs of the same param -> one entry, curves averaged
+    merged = merge_multiple_runs(data2)
+    assert len(merged["trackers"]) == 1
+    np.testing.assert_allclose(
+        np.asarray(merged["ave_success_rate_plot_overlap"])[:, 0],
+        succ.mean(1))
+    scores = eval_data_scores(merged)
+    assert scores["AUC"].shape == (1,)
+    # run0 is perfect (AUC from IoU=1 frames), run1 shifted; the merged AUC
+    # sits strictly between the two per-run AUCs
+    per_run = eval_data_scores(data2)["AUC"]
+    assert per_run[0] > per_run[1]
+    assert per_run[1] < scores["AUC"][0] < per_run[0]

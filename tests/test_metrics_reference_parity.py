@@ -139,3 +139,46 @@ def test_auc_precision_aggregation_matches(ref_analysis):
     assert abs(scores["Precision"] - float(prec_score[0])) < 1e-4
     assert abs(scores["NormPrec"] - float(pnorm_score[0])) < 1e-4
     assert abs(scores["OP50"] - float(auc_curve[0][THRESH_OVERLAP == 0.5][0])) < 1e-4
+
+
+def test_merge_multiple_runs_matches_reference(ref_analysis):
+    """Run-averaging parity: metrics.merge_multiple_runs vs the ACTUAL
+    plot_results.py:45-88 on an eval_data with 2 runs of one param + 1
+    other tracker (reference entry order and curve means preserved)."""
+    from lib.test.analysis.plot_results import \
+        merge_multiple_runs as ref_merge
+    from uvltrack_tpu.eval.metrics import merge_multiple_runs
+
+    rng = np.random.default_rng(11)
+    n_seq = 4
+    trackers = [
+        {"name": "uvltrack", "param": "baseline_base", "run_id": 0,
+         "disp_name": None},
+        {"name": "uvltrack", "param": "baseline_base", "run_id": 1,
+         "disp_name": None},
+        {"name": "uvltrack", "param": "baseline_large", "run_id": 0,
+         "disp_name": None},
+    ]
+    eval_data = {
+        "sequences": [f"seq{i}" for i in range(n_seq)],
+        "trackers": trackers,
+        "valid_sequence": [1] * n_seq,
+        "ave_success_rate_plot_overlap":
+            rng.random((n_seq, 3, 21)).tolist(),
+        "ave_success_rate_plot_center":
+            rng.random((n_seq, 3, 51)).tolist(),
+        "ave_success_rate_plot_center_norm":
+            rng.random((n_seq, 3, 51)).tolist(),
+        "avg_overlap_all": rng.random((n_seq, 3)).tolist(),
+    }
+    import copy
+
+    ref_out = ref_merge(copy.deepcopy(eval_data))
+    my_out = merge_multiple_runs(copy.deepcopy(eval_data))
+    assert [t["param"] for t in my_out["trackers"]] == \
+        [t["param"] for t in ref_out["trackers"]]
+    for key in ("ave_success_rate_plot_overlap", "ave_success_rate_plot_center",
+                "ave_success_rate_plot_center_norm", "avg_overlap_all"):
+        np.testing.assert_allclose(np.asarray(my_out[key]),
+                                   np.asarray(ref_out[key]),
+                                   rtol=1e-6, atol=1e-7, err_msg=key)

@@ -27,8 +27,14 @@ def _case(b, h, n, d, seed=0, mask_frac=0.3):
     return q, k, v, key_bias
 
 
-def test_kernel_matches_xla_masked():
-    q, k, v, key_bias = _case(2, 3, 48, 16)
+# 48: generic small; 361: tracking joint sequence (256 search); 681:
+# grounding-pretrain joint sequence (384 search -> 576 search tokens + 64
+# template + 40 text + 1 cls, baseline_base_grounding.yaml:12) — N is the
+# only shape axis the kernel's block specs depend on, so both shipped
+# training geometries are locked here.
+@pytest.mark.parametrize("n", [48, 361, 681])
+def test_kernel_matches_xla_masked(n):
+    q, k, v, key_bias = _case(2, 2 if n > 64 else 3, n, 16)
     out = fused_attention(q, k, v, key_bias, interpret=True)
     ref = xla_attention(q, k, v, key_bias[:, None, None, :])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -56,12 +62,14 @@ def test_kernel_no_mask_and_large_logits():
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
 
 
-def test_qkv_native_kernel_matches_classic():
+@pytest.mark.parametrize("n", [48, 681])
+def test_qkv_native_kernel_matches_classic(n):
     """The layout-native kernel (raw (B,N,3HD) fused-Dense input, head
-    slices inside VMEM) must equal the classic (B,H,N,D) kernel and XLA."""
+    slices inside VMEM) must equal the classic (B,H,N,D) kernel and XLA —
+    at the generic size and at the grounding-pretrain joint length."""
     from uvltrack_tpu.ops.pallas_attention import fused_attention_qkv
 
-    b, h, n, d = 2, 4, 48, 16
+    b, h, d = (2, 4, 16) if n < 64 else (1, 2, 64)
     q, k, v, key_bias = _case(b, h, n, d, seed=3)
     # pack [q|k|v] x head x dim the way the Dense + reshape produces it
     qkv = jnp.concatenate([

@@ -41,6 +41,15 @@ def main(argv=None):
     p.add_argument("--save_file", default=None,
                    help="also write the report text to this file "
                         "(plot_results.py:318 print_results save_file)")
+    p.add_argument("--run_ids", default=None,
+                   help="comma-separated run ids: score sibling result dirs "
+                        "<param>_<id:03d> as separate runs "
+                        "(tracking/analysis_results.py trackerlist)")
+    p.add_argument("--merge", action="store_true",
+                   help="average the curves across runs of the same "
+                        "name/param (plot_results.py:45 merge_multiple_runs)")
+    p.add_argument("--force_evaluation", action="store_true",
+                   help="ignore the precomputed eval_data.pkl cache")
     args = p.parse_args(argv)
 
     from ..config import load_cfg
@@ -81,6 +90,46 @@ def main(argv=None):
             criteria = {"mode": mode, "threshold": float(thr)}
         text = per_sequence_results({f"{args.tracker_name}/{args.tracker_param}":
                                      results_dir}, dataset, criteria)
+        if args.save_file:
+            with open(args.save_file, "w") as f:
+                f.write(text)
+        return
+
+    if args.run_ids is not None or args.merge:
+        # multi-run path: eval_data cache + optional run-averaging
+        from ..eval.metrics import (check_and_load_precomputed_results,
+                                    eval_data_scores, generate_formatted_report,
+                                    merge_multiple_runs)
+
+        param_root = os.path.dirname(results_dir)
+        if args.run_ids is not None:
+            run_ids = [int(x) for x in args.run_ids.split(",")]
+            trackers = [{"name": args.tracker_name, "param": args.tracker_param,
+                         "run_id": r,
+                         "results_dir": os.path.join(
+                             f"{param_root}_{r:03d}", report)}
+                        for r in run_ids]
+        else:
+            trackers = [{"name": args.tracker_name, "param": args.tracker_param,
+                         "run_id": None, "results_dir": results_dir}]
+        plot_dir = args.plot_dir or os.path.join(
+            settings.results_path, "plots", args.tracker_name,
+            args.tracker_param, report)
+        eval_data = check_and_load_precomputed_results(
+            trackers, dataset, plot_dir,
+            force_evaluation=args.force_evaluation, skip_missing_seq=True)
+        if args.merge:
+            eval_data = merge_multiple_runs(eval_data)
+        labels = []
+        for t in eval_data["trackers"]:
+            d = t.get("disp_name") or (
+                f"{t['name']}_{t['param']}" if t.get("run_id") is None
+                else f"{t['name']}_{t['param']}_{t['run_id']:03d}")
+            labels.append(d)
+        text = generate_formatted_report(
+            labels, eval_data_scores(eval_data),
+            table_name=f"{args.dataset_name}")
+        print(text)
         if args.save_file:
             with open(args.save_file, "w") as f:
                 f.write(text)

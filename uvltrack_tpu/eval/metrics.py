@@ -145,6 +145,154 @@ def evaluate_results_dir(results_dir: str, dataset, report: bool = True):
     return scores
 
 
+def extract_results(trackers: List[dict], dataset, skip_missing_seq: bool = False,
+                    exclude_invalid_frames: bool = False) -> dict:
+    """Per-sequence curve tensors for a list of tracker runs — the
+    `eval_data` structure of lib/test/analysis/extract_results.py:100-180
+    (same keys, plain lists, so a cache written here is format-compatible).
+
+    Each tracker is {"name", "param", "run_id", "results_dir"[, "disp_name"]}
+    with results_dir holding the report's <seq>.txt files directly.
+    """
+    from .datasets import load_text
+
+    n_seq, n_trk = len(dataset), len(trackers)
+    avg_overlap_all = np.zeros((n_seq, n_trk), np.float64)
+    succ = np.zeros((n_seq, n_trk, len(THRESH_OVERLAP)), np.float32)
+    prec = np.zeros((n_seq, n_trk, len(THRESH_CENTER)), np.float32)
+    prec_norm = np.zeros((n_seq, n_trk, len(THRESH_CENTER_NORM)), np.float32)
+    valid_sequence = np.ones(n_seq, np.uint8)
+
+    for seq_id, seq in enumerate(dataset):
+        anno_bb = np.asarray(seq.ground_truth_rect, np.float64)
+        for trk_id, trk in enumerate(trackers):
+            path = os.path.join(trk["results_dir"], f"{seq.name}.txt")
+            if not os.path.isfile(path):
+                if skip_missing_seq:
+                    valid_sequence[seq_id] = 0
+                    break
+                raise FileNotFoundError(f"Result not found: {path}")
+            pred_bb = load_text(path).reshape(-1, 4)
+            err_overlap, err_center, err_center_norm, valid = \
+                calc_seq_err_robust(pred_bb, anno_bb, seq.dataset,
+                                    seq.target_visible)
+            avg_overlap_all[seq_id, trk_id] = (
+                err_overlap[valid].mean() if valid.any() else np.nan)
+            seq_length = int(valid.sum()) if exclude_invalid_frames \
+                else anno_bb.shape[0]
+            if seq_length <= 0:
+                raise ValueError("Seq length zero")
+            succ[seq_id, trk_id] = (
+                err_overlap[:, None] > THRESH_OVERLAP[None]).sum(0) / seq_length
+            prec[seq_id, trk_id] = (
+                err_center[:, None] <= THRESH_CENTER[None]).sum(0) / seq_length
+            prec_norm[seq_id, trk_id] = (
+                err_center_norm[:, None] <= THRESH_CENTER_NORM[None]
+            ).sum(0) / seq_length
+
+    tracker_names = [{"name": t["name"], "param": t["param"],
+                      "run_id": t.get("run_id"),
+                      "disp_name": t.get("disp_name")} for t in trackers]
+    return {
+        "sequences": [s.name for s in dataset],
+        "trackers": tracker_names,
+        "valid_sequence": valid_sequence.tolist(),
+        "ave_success_rate_plot_overlap": succ.tolist(),
+        "ave_success_rate_plot_center": prec.tolist(),
+        "ave_success_rate_plot_center_norm": prec_norm.tolist(),
+        "avg_overlap_all": avg_overlap_all.tolist(),
+        "threshold_set_overlap": THRESH_OVERLAP.tolist(),
+        "threshold_set_center": THRESH_CENTER.tolist(),
+        "threshold_set_center_norm": THRESH_CENTER_NORM.tolist(),
+    }
+
+
+def check_and_load_precomputed_results(trackers: List[dict], dataset,
+                                       plot_dir: str,
+                                       force_evaluation: bool = False,
+                                       **kwargs) -> dict:
+    """eval_data.pkl cache per report (plot_results.py:170-197): load when
+    present and still valid for (sequence names, tracker name/param/run_id),
+    recompute otherwise, always rewrite. Saves re-scoring every sequence txt
+    on each analyze call."""
+    import pickle
+
+    os.makedirs(plot_dir, exist_ok=True)
+    cache = os.path.join(plot_dir, "eval_data.pkl")
+    eval_data = None
+    if os.path.isfile(cache) and not force_evaluation:
+        with open(cache, "rb") as fh:
+            eval_data = pickle.load(fh)
+        same_seqs = eval_data.get("sequences") == [s.name for s in dataset]
+        ids = [(t["name"], t["param"], t.get("run_id")) for t in trackers]
+        saved = [(t["name"], t["param"], t.get("run_id"))
+                 for t in eval_data.get("trackers", [])]
+        if not (same_seqs and ids == saved):
+            eval_data = None
+        else:  # refresh display names only
+            eval_data["trackers"] = [
+                {"name": t["name"], "param": t["param"],
+                 "run_id": t.get("run_id"), "disp_name": t.get("disp_name")}
+                for t in trackers]
+    if eval_data is None:
+        eval_data = extract_results(trackers, dataset, **kwargs)
+    with open(cache, "wb") as fh:
+        pickle.dump(eval_data, fh)
+    return eval_data
+
+
+def merge_multiple_runs(eval_data: dict) -> dict:
+    """Average the per-sequence curves across runs of the same
+    (name, param) pair (plot_results.py:45-88): 5 run_ids of one parameter
+    file report as one averaged tracker entry."""
+    trackers = eval_data["trackers"]
+    succ = np.asarray(eval_data["ave_success_rate_plot_overlap"])
+    prec = np.asarray(eval_data["ave_success_rate_plot_center"])
+    prec_norm = np.asarray(eval_data["ave_success_rate_plot_center_norm"])
+    ao = np.asarray(eval_data["avg_overlap_all"])
+
+    new_trackers, succ_m, prec_m, prec_norm_m, ao_m = [], [], [], [], []
+    merged = np.zeros(len(trackers), bool)
+    for i, base in enumerate(trackers):
+        if merged[i]:
+            continue
+        new_trackers.append(base)
+        match = np.array([t["name"] == base["name"] and
+                          t["param"] == base["param"] for t in trackers])
+        succ_m.append(succ[:, match, :].mean(1))
+        prec_m.append(prec[:, match, :].mean(1))
+        prec_norm_m.append(prec_norm[:, match, :].mean(1))
+        ao_m.append(ao[:, match].mean(1))
+        merged |= match
+    out = dict(eval_data)
+    out["trackers"] = new_trackers
+    out["ave_success_rate_plot_overlap"] = np.stack(succ_m, 1).tolist()
+    out["ave_success_rate_plot_center"] = np.stack(prec_m, 1).tolist()
+    out["ave_success_rate_plot_center_norm"] = np.stack(prec_norm_m, 1).tolist()
+    out["avg_overlap_all"] = np.stack(ao_m, 1).tolist()
+    return out
+
+
+def eval_data_scores(eval_data: dict) -> Dict[str, np.ndarray]:
+    """Per-tracker AUC / OP50 / OP75 / Precision / NormPrec (x100) from an
+    eval_data dict, over its valid sequences (plot_results.py:199-213
+    get_auc_curve/get_prec_curve)."""
+    valid = np.asarray(eval_data["valid_sequence"], bool)
+    succ = np.asarray(eval_data["ave_success_rate_plot_overlap"])[valid]
+    prec = np.asarray(eval_data["ave_success_rate_plot_center"])[valid]
+    pnorm = np.asarray(eval_data["ave_success_rate_plot_center_norm"])[valid]
+    succ_curve = succ.mean(0) * 100.0  # (n_trk, 21)
+    prec_curve = prec.mean(0) * 100.0
+    pnorm_curve = pnorm.mean(0) * 100.0
+    return {
+        "AUC": succ_curve.mean(-1),
+        "OP50": succ_curve[:, THRESH_OVERLAP == 0.50][:, 0],
+        "OP75": succ_curve[:, THRESH_OVERLAP == 0.75][:, 0],
+        "Precision": prec_curve[:, 20],
+        "NormPrec": pnorm_curve[:, 20],
+    }
+
+
 def generate_formatted_report(row_labels, scores: Dict[str, np.ndarray],
                               table_name: str = "") -> str:
     """Fixed-width table like plot_results.py:294-315 — one row per label,
