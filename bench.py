@@ -266,7 +266,19 @@ def main():
 
         cfg2, model2, variables2, _ = make_tracker(config)
         cfg2.TEST.MODE = "NLBBOX"
-        trk = Tracker(cfg2, model2, variables2, tokenizer=None)
+        # real (tiny) vocab so the text tokens are actually unmasked in the
+        # joint attention — tokenizer=None would zero-fill ids AND mask,
+        # making "text branch live" true only in shape, not in dataflow
+        import tempfile
+
+        from uvltrack_tpu.core.tokenizer import BertTokenizer
+
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".txt", delete=False) as vf:
+            vf.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]",
+                                "the", "moving", "object"]) + "\n")
+        trk = Tracker(cfg2, model2, variables2,
+                      tokenizer=BertTokenizer(vf.name))
         trk.initialize(np.asarray(pool[0]),
                        {"init_bbox": [600.0, 300.0, 120.0, 160.0],
                         "language": "the moving object"})

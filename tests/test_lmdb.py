@@ -247,3 +247,25 @@ def test_imagenetvid_filesystem_adapter(tmp_path):
     # second construction uses the cache
     d2 = ImagenetVID(str(root))
     assert len(d2) == 1
+
+
+def test_prewarm_cli(tmp_path, capsys):
+    """Dataset pre-warmer (tracking/pre_read_datasets.py parity): touches
+    each store's index key, including the per-shard trackingnet layout."""
+    import json
+
+    from uvltrack_tpu.cli import prewarm
+
+    g = tmp_path / "got10k_lmdb"
+    write_lmdb(str(g), [("train/list.txt", b"GOT-10k_Train_000001\n")])
+    t_root = tmp_path / "trackingnet_lmdb"
+    t_root.mkdir()
+    (t_root / "seq_list.json").write_text(
+        json.dumps([[0, "seqA"], [0, "seqB"], [1, "seqC"]]))
+    write_lmdb(str(t_root / "TRAIN_0_lmdb"), [("anno/seqA.txt", b"1,2,3,4\n")])
+    write_lmdb(str(t_root / "TRAIN_1_lmdb"), [("anno/seqC.txt", b"5,6,7,8\n")])
+
+    prewarm.main(["--data_dir", str(tmp_path), "--dataset_str", "gt",
+                  "--full"])
+    out = capsys.readouterr().out
+    assert "pre-read 3 stores" in out

@@ -170,10 +170,12 @@ def _lasot_lmdb_dataset() -> SequenceList:
     from ..utils.lmdb_utils import decode_str
 
     base = env_settings().lasot_lmdb_path
-    split = os.path.join(env_settings().repo_dir, "data_specs",
-                         "lasot_test_split.txt")
+    # dataset-root override wins over the bundled published table (same
+    # precedence as the train adapters)
+    split = os.path.join(base, "lasot_test_split.txt")
     if not os.path.exists(split):
-        split = os.path.join(base, "lasot_test_split.txt")
+        split = os.path.join(env_settings().repo_dir, "data_specs",
+                             "lasot_test_split.txt")
     if not os.path.exists(split):
         raise FileNotFoundError(
             "lasot_lmdb needs the published lasot_test_split.txt in "
