@@ -257,6 +257,20 @@ def main():
         extra["multistream8_l_aggregate_fps"] = round(agg, 2)
         log(f"[{elapsed():.0f}s] 8-stream L aggregate fps={agg:.1f}")
 
+    def multistream_b_sweep():
+        # service-mode throughput curve: aggregate FPS vs stream count for
+        # UVLTrack-B (how MXU utilisation climbs with batch)
+        curve = {}
+        for s in (2, 4, 8, 16):
+            if elapsed() > budget:
+                log(f"[{elapsed():.0f}s] budget exhausted in B-sweep at s={s}")
+                break
+            curve[f"s{s}"] = round(bench_multistream(config, streams=s,
+                                                     iters=64), 2)
+        extra["multistream_b_sweep_fps"] = curve
+        log(f"[{elapsed():.0f}s] B multistream sweep " + " ".join(
+            f"{k}={v}" for k, v in curve.items()))
+
     def nlbbox():
         # tri-modal path (flag 2: text branch live in every frame's joint
         # attention) — BASELINE.json config 3's speed aspect
@@ -296,6 +310,7 @@ def main():
         run_extra("nlbbox_mode", nlbbox)
         run_extra("uvltrack_l", large)
         run_extra("multistream8_l", multistream)
+        run_extra("multistream_b_sweep", multistream_b_sweep)
 
     suffix = "b" if config == "baseline_base" else "l"
     baseline = BASELINE_FPS_B if suffix == "b" else BASELINE_FPS_L

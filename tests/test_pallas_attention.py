@@ -175,3 +175,78 @@ def test_custom_vjp_backward_is_clamp_consistent():
     # ...and so does the gradient
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_clamped),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [48, 361])
+def test_fused_ln_qkv_attention_matches_xla(n):
+    """Prologue-folded kernel (LN + qkv matmul + bias + attention in one
+    program) vs the composed reference math."""
+    import jax
+
+    from uvltrack_tpu.ops.pallas_attention import (_xla_ln_qkv_attention,
+                                                   fused_ln_qkv_attention)
+
+    b, h, c = 1, 4, 64
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(c, 3 * c)) / np.sqrt(c), jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(3 * c,)) * 0.02, jnp.float32)
+    masked = rng.random((b, n)) < 0.3
+    masked[:, 0] = False
+    kb = jnp.asarray(np.where(masked, -1e10, 0.0), jnp.float32)
+
+    out = fused_ln_qkv_attention(x, g, be, w, wb, kb, heads=h,
+                                 interpret=True)
+    ref = _xla_ln_qkv_attention(x, g, be, w, wb, kb, heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-4)
+
+    # flax-LayerNorm consistency: the composed reference equals
+    # nn.LayerNorm(fp32) -> Dense -> attention on the same weights
+    import flax.linen as nn
+
+    ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+    y = ln.apply({"params": {"scale": g, "bias": be}}, x)
+    qkv = y @ w + wb
+    from uvltrack_tpu.ops.attention import attention_qkv_core
+
+    ref2 = attention_qkv_core(qkv, h, kb[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(ref2),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_ln_qkv_attention_custom_vjp_gradients():
+    """Backward of the folded kernel recomputes in XLA math: gradients wrt
+    every input match grad of the pure composed function."""
+    import jax
+
+    from uvltrack_tpu.ops import pallas_attention as pa
+
+    b, n, h, c = 1, 32, 2, 16
+    rng = np.random.default_rng(8)
+    args = (
+        jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1.0, jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(c, 3 * c)) / 4.0, jnp.float32),
+        jnp.asarray(rng.normal(size=(3 * c,)) * 0.02, jnp.float32),
+        jnp.zeros((b, n), jnp.float32),
+    )
+
+    def loss_kernel(*a):
+        return (pa.ln_qkv_attention_trainable(h, *a) ** 2).sum()
+
+    def loss_xla(*a):
+        return (pa._xla_ln_qkv_attention(*a, heads=h, clamp=True) ** 2).sum()
+
+    pa._FORCE_INTERPRET = True
+    try:
+        g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(*args)
+    finally:
+        pa._FORCE_INTERPRET = False
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    for gk, gx in zip(g_kernel, g_xla):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                                   atol=5e-4, rtol=2e-3)

@@ -382,3 +382,88 @@ def test_export_loads_into_reference_model(ctx):
         if k in orig:
             np.testing.assert_allclose(v.numpy(), orig[k].numpy(),
                                        rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+@pytest.fixture(scope="module")
+def ground_ctx(tmp_path_factory):
+    """Second full-size build at the grounding-pretrain geometry: 384 search
+    -> 576 search tokens, N=681 joint sequence
+    (experiments/uvltrack/baseline_base_grounding.yaml:12)."""
+    td = str(tmp_path_factory.mktemp("refparity_ground"))
+    ref_cfg = _reference.build_reference_cfg(
+        td, "baseline_base_grounding.yaml")
+    ref_model = _reference.build_reference_model(ref_cfg, seed=1)
+    ckpt_path = os.path.join(td, "UVLTrack_ep0060.pth.tar")
+    torch.save({"net": ref_model.state_dict()}, ckpt_path)
+
+    cfg = load_cfg(os.path.join(
+        REPO, "experiments/uvltrack/baseline_base_grounding.yaml"))
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+    tz, sx = cfg.DATA.TEMPLATE.SIZE, cfg.DATA.SEARCH.SIZE
+    nz, nx = (tz // 16) ** 2, (sx // 16) ** 2
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, tz, tz, 3)), jnp.zeros((1, sx, sx, 3)),
+                           jnp.zeros((1, NT), jnp.int32),
+                           jnp.ones((1, NT), jnp.int32),
+                           jnp.zeros((1, nz), bool), jnp.zeros((1, nx), bool),
+                           jnp.zeros((1,), jnp.int32), train=False))
+    zero_vars = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
+    from uvltrack_tpu.models.convert import load_torch_file
+
+    params, batch_stats, unused = convert_uvltrack(
+        load_torch_file(ckpt_path), zero_vars["params"],
+        zero_vars["batch_stats"])
+    assert [k for k in unused if not _is_dead_key(k)] == []
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params),
+                 "batch_stats": jax.tree_util.tree_map(jnp.asarray, batch_stats)}
+    return dict(ref_model=ref_model, cfg=cfg, model=model,
+                variables=variables, nz=nz, nx=nx)
+
+
+def test_grounding_geometry_forward_parity(ground_ctx):
+    """flag=1 grounding forward at the pretrain geometry (the tracker's NL
+    init path, lib/test/tracker/uvltrack.py:45-62: zero template, empty
+    masks, letterbox-sized search) vs the genuine reference model at N=681."""
+    gc = ground_ctx
+    b, nz, nx = 1, gc["nz"], gc["nx"]
+    sx = gc["cfg"].DATA.SEARCH.SIZE
+    rng = np.random.default_rng(21)
+    template = np.zeros((b, 128, 128, 3), np.float32)
+    search = rng.normal(size=(b, sx, sx, 3)).astype(np.float32)
+    ids = rng.integers(100, 30000, size=(b, NT)).astype(np.int64)
+    mask = np.ones((b, NT), np.float32)
+    mask[:, 22:] = 0.0
+    tmask = np.zeros((b, nz), bool)
+    cmask = np.zeros((b, nx), bool)
+    flag = np.ones((b,), np.int64)
+
+    from lib.utils.misc import NestedTensor
+
+    with torch.no_grad():
+        out_t = gc["ref_model"].forward(
+            torch.tensor(template).permute(0, 3, 1, 2),
+            torch.tensor(search).permute(0, 3, 1, 2),
+            NestedTensor(torch.tensor(ids), torch.tensor(mask)),
+            torch.tensor(tmask), torch.tensor(cmask),
+            torch.tensor(flag).reshape(-1, 1))
+
+    model, variables = gc["model"], gc["variables"]
+    out_j = jax.jit(lambda v, *a: model.apply(v, *a, train=False))(
+        variables, jnp.asarray(template), jnp.asarray(search),
+        jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+        jnp.asarray(tmask), jnp.asarray(cmask), jnp.asarray(flag, jnp.int32))
+
+    # the grounding consumer (pred_boxes drives the init box) plus the full
+    # score/box maps
+    np.testing.assert_allclose(np.asarray(out_j["pred_boxes"]).reshape(-1, 4),
+                               out_t["pred_boxes"].reshape(-1, 4).numpy(),
+                               atol=2e-3, rtol=1e-3)
+    for key in ("bbox_map", "cls_score"):
+        if key in out_t:
+            np.testing.assert_allclose(
+                np.asarray(out_j[key]).reshape(b, -1),
+                out_t[key].reshape(b, -1).numpy(), atol=3e-3, rtol=2e-3,
+                err_msg=key)

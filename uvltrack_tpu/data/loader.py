@@ -29,19 +29,66 @@ def collate_frame_major(samples: list) -> dict:
     return batch
 
 
+# ---- process-pool worker plumbing (loader.py:124-194 uses NUM_WORKER torch
+# processes; this is the jax-side equivalent). The sampler travels to each
+# worker once (initializer) and every worker reseeds itself with a distinct
+# index so forked RNG state never produces duplicate streams.
+_WORKER_SAMPLER = None
+
+
+def _process_worker_init(sampler, counter):
+    global _WORKER_SAMPLER
+    with counter.get_lock():
+        wid = counter.value
+        counter.value += 1
+    if hasattr(sampler, "reseed"):
+        sampler.reseed(wid)
+    _WORKER_SAMPLER = sampler
+
+
+def _process_worker_draw():
+    return _WORKER_SAMPLER()
+
+
 class SamplerLoader:
-    """Iterates `steps` batches per epoch from a callable sampler."""
+    """Iterates `steps` batches per epoch from a callable sampler.
+
+    worker_mode "thread" (default): one ThreadPoolExecutor — zero-copy
+    hand-off, fine when the per-sample work is dominated by GIL-releasing
+    ops (cv2 decode/warp) or when one process drives one chip per host core.
+    worker_mode "process": ProcessPoolExecutor — true parallelism for the
+    numpy/Python-heavy parts of the pipeline (jitter, Gaussian labels,
+    tokenize), at the cost of pickling each sample back (~1.6 MB at
+    256px/n=2). Matches the reference's NUM_WORKER dataloader processes.
+    """
 
     def __init__(self, sampler, batch_size: int, steps_per_epoch: int,
-                 num_workers: int = 8, prefetch: int = 4):
+                 num_workers: int = 8, prefetch: int = 4,
+                 worker_mode: str = "thread"):
+        assert worker_mode in ("thread", "process"), worker_mode
         self.sampler = sampler
         self.batch_size = batch_size
         self.steps_per_epoch = steps_per_epoch
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.worker_mode = worker_mode
 
     def __len__(self):
         return self.steps_per_epoch
+
+    def _make_pool(self):
+        if self.worker_mode == "process":
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            ctx = multiprocessing.get_context(
+                os.environ.get("UVLTRACK_LOADER_MP_CONTEXT", "fork"))
+            counter = ctx.Value("i", 0)
+            return ProcessPoolExecutor(
+                self.num_workers, mp_context=ctx,
+                initializer=_process_worker_init,
+                initargs=(self.sampler, counter)), _process_worker_draw
+        return ThreadPoolExecutor(self.num_workers), self.sampler
 
     def __iter__(self) -> Iterator[dict]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -49,11 +96,12 @@ class SamplerLoader:
 
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                pool, draw = self._make_pool()
+                with pool:
                     for _ in range(self.steps_per_epoch):
                         if stop.is_set():
                             return
-                        futures = [pool.submit(self.sampler)
+                        futures = [pool.submit(draw)
                                    for _ in range(self.batch_size)]
                         samples = [f.result() for f in futures]
                         q.put(collate_frame_major(samples))
@@ -98,7 +146,9 @@ def build_train_loader(cfg: CfgNode, global_batch: int, seed: int = 42):
         seed=seed)
     steps = int(cfg.DATA.TRAIN.SAMPLE_PER_EPOCH) // global_batch
     return SamplerLoader(sampler, global_batch, steps,
-                         num_workers=int(cfg.TRAIN.NUM_WORKER))
+                         num_workers=int(cfg.TRAIN.NUM_WORKER),
+                         worker_mode=str(getattr(cfg.TPU, "LOADER_WORKER_MODE",
+                                                 "thread")))
 
 
 def build_val_loaders(cfg: CfgNode, global_batch: int, seed: int = 7):
@@ -134,5 +184,7 @@ def build_val_loaders(cfg: CfgNode, global_batch: int, seed: int = 7):
             max_query_len=int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN),
             seed=seed)
         out[name] = SamplerLoader(sampler, global_batch, spe // global_batch,
-                                  num_workers=int(cfg.TRAIN.NUM_WORKER))
+                                  num_workers=int(cfg.TRAIN.NUM_WORKER),
+                                  worker_mode=str(getattr(
+                                      cfg.TPU, "LOADER_WORKER_MODE", "thread")))
     return out

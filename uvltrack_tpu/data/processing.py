@@ -64,6 +64,12 @@ class TrackProcessing:
     def rng(self) -> np.random.Generator:
         return self._fixed_rng if self._fixed_rng is not None else self._rng.get()
 
+    def reseed(self, key: int) -> None:
+        """Disjoint stream for a forked loader worker (no-op with a fixed
+        caller-owned generator — unit-test mode)."""
+        if self._rng is not None:
+            self._rng.reseed(key)
+
     # ----------------------------------------------------------------- utils
     def _jitter_box(self, box: np.ndarray, center_jitter: float,
                     scale_jitter: float) -> np.ndarray:

@@ -24,10 +24,18 @@ DEFAULT_CAPTION = "object, thing or stuff"
 
 class _ThreadLocalRng:
     """numpy Generators are not thread-safe; the loader samples from worker
-    threads, so each thread gets its own stream spawned from one seed."""
+    threads, so each thread gets its own stream spawned from one seed.
 
-    def __init__(self, seed: Optional[int]):
-        self._seq = np.random.SeedSequence(seed)
+    Process-pool workers (loader worker_mode="process") fork with identical
+    copies of this object; reseed(worker_id) gives each process a disjoint
+    deterministic stream (and drops any generator the parent thread already
+    materialized before the fork)."""
+
+    def __init__(self, seed: Optional[int], key: Optional[int] = None):
+        self._seed, self._key = seed, key
+        entropy = seed if key is None else (
+            np.random.SeedSequence(seed).entropy, key)
+        self._seq = np.random.SeedSequence(entropy)
         self._local = threading.local()
         self._lock = threading.Lock()
 
@@ -39,6 +47,16 @@ class _ThreadLocalRng:
             rng = np.random.default_rng(child)
             self._local.rng = rng
         return rng
+
+    def reseed(self, key: int) -> None:
+        self.__init__(self._seed, key)
+
+    # thread locks don't pickle (spawn/forkserver loader workers)
+    def __getstate__(self):
+        return {"seed": self._seed, "key": self._key}
+
+    def __setstate__(self, s):
+        self.__init__(s["seed"], s["key"])
 
 
 class GroundingAndTrackingSampler:
@@ -70,6 +88,14 @@ class GroundingAndTrackingSampler:
     @property
     def rng(self) -> np.random.Generator:
         return self._rng.get()
+
+    def reseed(self, key: int) -> None:
+        """Give this (forked) copy a disjoint deterministic RNG stream —
+        called by the loader's process-pool worker initializer."""
+        self._rng.reseed(key)
+        reseed_proc = getattr(self.processing, "reseed", None)
+        if reseed_proc is not None:
+            reseed_proc(key)
 
     def __len__(self):
         # grounding validation iterates the dataset's sequences once

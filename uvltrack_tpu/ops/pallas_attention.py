@@ -149,6 +149,117 @@ def fused_attention_qkv(qkv, key_bias, heads: int, interpret: bool = False):
     )(qkv, key_bias)
 
 
+def _ln_qkv_attn_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, bias_ref, o_ref,
+                        *, scale: float, heads: int, head_dim: int,
+                        eps: float):
+    """Prologue-folded variant: LayerNorm (fp32) + the fused qkv matmul +
+    bias + masked attention in ONE program, per batch element. Folds the
+    pre-attention LN and the qkv projection into the kernel so the
+    normalized activations and the (N, 3·H·D) qkv tensor never round-trip
+    HBM (VitBlock's norm1 -> qkv Dense -> attention_qkv_core chain).
+
+    The qkv weight (C, 3C) rides in VMEM (~3.4 MB bf16 at ViT-B width)."""
+    hd = heads * head_dim
+    x = x_ref[0].astype(jnp.float32)  # (N, C)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    qkv = jax.lax.dot_general(
+        y.astype(w_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    qkv = (qkv + wb_ref[...].astype(jnp.float32)).astype(w_ref.dtype)
+    bias = bias_ref[0].astype(jnp.float32)  # (1, N)
+    for h in range(heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, hd + h * head_dim:hd + (h + 1) * head_dim]
+        v = qkv[:, 2 * hd + h * head_dim:2 * hd + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT) * scale
+        e = jnp.exp(jnp.clip(s + bias, -_CLAMP, _CLAMP))
+        o = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        o = o * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+
+
+def fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias,
+                           heads: int, eps: float = 1e-6,
+                           interpret: bool = False):
+    """x: (B, N, C) residual stream; ln_{scale,bias}: (C,); w_qkv: (C, 3C)
+    (bf16 recommended); b_qkv: (3C,); key_bias: (B, N) fp32 additive.
+    Returns (B, N, C) attention output (pre-proj), dtype of w_qkv."""
+    interpret = interpret or _FORCE_INTERPRET
+    b, n, c = x.shape
+    d = c // heads
+    key_bias = key_bias[:, None, :]
+    spec_x = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_vec = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_wb = pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_bias = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_attn_kernel, scale=d ** -0.5, heads=heads,
+                          head_dim=d, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), w_qkv.dtype),
+        grid=(b,),
+        in_specs=[spec_x, spec_vec, spec_vec, spec_w, spec_wb, spec_bias],
+        out_specs=spec_x,
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias)
+
+
+def _xla_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias,
+                          heads: int, eps: float = 1e-6, clamp: bool = False):
+    """Pure-XLA math of fused_ln_qkv_attention (fast-variance fp32 LN like
+    flax's LayerNorm default); backward recompute target for the custom VJP
+    and the CPU/parity reference."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    qkv = jnp.dot(y.astype(w_qkv.dtype), w_qkv,
+                  preferred_element_type=jnp.float32)
+    qkv = (qkv + b_qkv.astype(jnp.float32)).astype(w_qkv.dtype)
+    return _xla_qkv_attention(qkv, key_bias, heads, clamp=clamp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def ln_qkv_attention_trainable(heads: int, x, ln_scale, ln_bias, w_qkv,
+                               b_qkv, key_bias):
+    """Kernel forward, XLA-recompute backward (same pattern as
+    _qkv_attention_trainable): gradients re-derive the whole LN+qkv+attn
+    chain from the saved inputs with the clamped einsum math."""
+    return fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                  key_bias, heads)
+
+
+def _ln_qkv_attention_fwd(heads, x, ln_scale, ln_bias, w_qkv, b_qkv,
+                          key_bias):
+    out = fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                 key_bias, heads)
+    return out, (x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias)
+
+
+def _ln_qkv_attention_bwd(heads, res, g):
+    x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ln_qkv_attention(*a, heads=heads, clamp=True),
+        x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias)
+    return vjp(g.astype(w_qkv.dtype))
+
+
+ln_qkv_attention_trainable.defvjp(_ln_qkv_attention_fwd,
+                                  _ln_qkv_attention_bwd)
+
+
 def _xla_qkv_attention(qkv, key_bias, heads: int, clamp: bool = False):
     """Pure-XLA qkv-layout attention. clamp=True mirrors the kernel's
     clip-to-±80 softmax exactly — the custom-VJP backward differentiates
