@@ -66,6 +66,13 @@ def make_tracker(config: str):
 
     cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
     cfg.TEST.MODE = "BBOX"
+    # persistent compile cache: the fused-block pallas path makes the first
+    # tracker compile expensive (~9 min through the tunnel); cached repeats
+    # start in seconds. UVLTRACK_BENCH_CACHE=0 disables for cold-compile
+    # timing experiments.
+    if (os.environ.get("UVLTRACK_BENCH_CACHE", "1") == "1"
+            and not cfg.TPU.COMPILE_CACHE):
+        cfg.TPU.COMPILE_CACHE = os.path.join(REPO, "output", "xla_cache")
     # default: cfg.TPU.USE_PALLAS_ATTENTION=True -> the qkv-layout-native
     # Pallas kernel (beats XLA end-to-end, TPU_DESIGN.md "Attention");
     # UVLTRACK_BENCH_PALLAS=0 forces XLA, =1 forces Pallas

@@ -18,7 +18,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import attention_qkv_core, key_padding_bias
+from ..ops.attention import attention_ln_qkv_core, key_padding_bias
+
+
+class _LnParams(nn.Module):
+    """Param holder matching nn.LayerNorm's tree ({scale, bias}) so the
+    block can hand the raw weights to the fused LN+qkv+attention kernel
+    while checkpoints/converters see an unchanged structure."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    """Param holder matching nn.Dense's tree ({kernel, bias})."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.xavier_uniform(),
+                           (self.in_dim, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
 
 
 def sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
@@ -98,14 +124,15 @@ class VitBlock(nn.Module):
         b, n, c = x.shape
         h, d = self.num_heads, self.dim // self.num_heads
 
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                       kernel_init=nn.initializers.xavier_uniform(), name="qkv")(y)
+        # norm1 + qkv live as raw params (same tree names as
+        # nn.LayerNorm/nn.Dense) so the whole pre-LN -> qkv -> attention
+        # prefix can run as ONE pallas program on TPU; the XLA fallback in
+        # attention_ln_qkv_core composes identical math
+        ln_scale, ln_bias = _LnParams(self.dim, name="norm1")()
+        w_qkv, b_qkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
         bias = key_padding_bias(key_masked) if key_masked is not None else None
-        # layout-native entry: the raw (B, N, 3*H*D) Dense output goes in;
-        # the Pallas backend slices heads inside VMEM, the XLA backend's
-        # transposes fuse into its einsums — identical math either way
-        attn = attention_qkv_core(qkv, h, bias)
+        attn = attention_ln_qkv_core(x, ln_scale, ln_bias, w_qkv, b_qkv, h,
+                                     bias, compute_dtype=self.dtype)
         attn = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         kernel_init=nn.initializers.xavier_uniform(), name="proj")(attn)
         x = x + self._drop_path(self._layer_scale(attn, 'ls1_gamma'), deterministic)

@@ -80,6 +80,50 @@ def attention_qkv_core(qkv: jnp.ndarray, heads: int,
     return out.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
 
 
+def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
+                          heads: int, bias: jnp.ndarray | None = None,
+                          compute_dtype=None, eps: float = 1e-6) -> jnp.ndarray:
+    """Block-prefix attention entry: pre-LN LayerNorm + fused qkv projection
+    + masked attention, from the raw residual stream x (B, N, C).
+    Returns (B, N, C) pre-proj attention output.
+
+    On the Pallas backend this runs as ONE kernel (LN prologue + qkv matmul
+    with the weight resident in VMEM + per-head attention — measured -5%
+    at B=1 and -13/-15% at B=8/16 vs LN+Dense+qkv-kernel on v5e,
+    scripts/bench_ln_fold.py); differentiable via an XLA-recompute custom
+    VJP. The XLA fallback composes the same math (fast-variance fp32 LN,
+    matching flax LayerNorm defaults)."""
+    compute_dtype = compute_dtype or x.dtype
+    if _BACKEND == "pallas":
+        from . import pallas_attention as pa
+
+        b, n, c = x.shape
+        import os
+
+        if (pa._HAS_PALLAS and pa._on_tpu()
+                and os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1"
+                and n >= int(os.environ.get("UVLTRACK_PALLAS_MIN_N", "128"))):
+            key_bias = None
+            if bias is None:
+                key_bias = jnp.zeros((b, n), jnp.float32)
+            elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+                key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+            if key_bias is not None:
+                return pa.ln_qkv_attention_trainable(
+                    heads, x, ln_scale, ln_bias,
+                    w_qkv.astype(compute_dtype), b_qkv, key_bias)
+    # XLA fallback — identical math path used by CPU tests and non-TPU runs
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    qkv = (jnp.dot(y.astype(compute_dtype), w_qkv.astype(compute_dtype))
+           + b_qkv.astype(compute_dtype))
+    return attention_qkv_core(qkv, heads, bias)
+
+
 def xla_attention(q, k, v, bias=None):
     d = q.shape[-1]
     scale = d ** -0.5
