@@ -250,3 +250,71 @@ def test_ln_qkv_attention_custom_vjp_gradients():
     for gk, gx in zip(g_kernel, g_xla):
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
                                    atol=5e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("n", [48, 361])
+def test_fused_ln_mlp_matches_xla(n):
+    """MLP-suffix kernel (LN + fc1 + exact gelu + fc2 in one program) vs
+    the composed reference math and flax LayerNorm+Mlp."""
+    from uvltrack_tpu.ops.pallas_attention import _xla_ln_mlp, fused_ln_mlp
+
+    b, c, f = 1, 64, 256
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, f)) / np.sqrt(c), jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(f,)) * 0.02, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, c)) / np.sqrt(f), jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.02, jnp.float32)
+
+    out = fused_ln_mlp(x, g, be, w1, b1, w2, b2, interpret=True)
+    ref = _xla_ln_mlp(x, g, be, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-4)
+
+    # flax-consistency: LayerNorm(fp32) -> Mlp on the same weights
+    import flax.linen as nn
+
+    from uvltrack_tpu.models.vit import Mlp
+
+    ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+    y = ln.apply({"params": {"scale": g, "bias": be}}, x)
+    mlp = Mlp(f, c, jnp.float32)
+    ref2 = mlp.apply({"params": {"fc1": {"kernel": w1, "bias": b1},
+                                 "fc2": {"kernel": w2, "bias": b2}}}, y)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(ref2),
+                               atol=5e-5, rtol=5e-4)
+
+
+def test_ln_mlp_custom_vjp_gradients():
+    from uvltrack_tpu.ops import pallas_attention as pa
+
+    b, n, c, f = 1, 32, 16, 64
+    rng = np.random.default_rng(13)
+    args = tuple(jnp.asarray(a, jnp.float32) for a in (
+        rng.normal(size=(b, n, c)),
+        rng.normal(size=(c,)) * 0.1 + 1.0,
+        rng.normal(size=(c,)) * 0.1,
+        rng.normal(size=(c, f)) / 4.0,
+        rng.normal(size=(f,)) * 0.02,
+        rng.normal(size=(f, c)) / 8.0,
+        rng.normal(size=(c,)) * 0.02,
+    ))
+    import jax
+
+    def loss_kernel(*a):
+        return (pa.ln_mlp_trainable(*a) ** 2).sum()
+
+    def loss_xla(*a):
+        return (pa._xla_ln_mlp(*a) ** 2).sum()
+
+    pa._FORCE_INTERPRET = True
+    try:
+        g_kernel = jax.grad(loss_kernel, argnums=tuple(range(7)))(*args)
+    finally:
+        pa._FORCE_INTERPRET = False
+    g_xla = jax.grad(loss_xla, argnums=tuple(range(7)))(*args)
+    for gk, gx in zip(g_kernel, g_xla):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                                   atol=5e-4, rtol=2e-3)

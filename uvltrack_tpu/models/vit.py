@@ -18,7 +18,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import attention_ln_qkv_core, key_padding_bias
+from ..ops.attention import (attention_ln_qkv_core, key_padding_bias,
+                             ln_mlp_core)
+
+
+class _MlpParams(nn.Module):
+    """Param holder matching Mlp's tree ({fc1: {kernel, bias},
+    fc2: {kernel, bias}})."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return w1, b1, w2, b2
 
 
 class _LnParams(nn.Module):
@@ -137,9 +152,14 @@ class VitBlock(nn.Module):
                         kernel_init=nn.initializers.xavier_uniform(), name="proj")(attn)
         x = x + self._drop_path(self._layer_scale(attn, 'ls1_gamma'), deterministic)
 
-        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.dtype,
-                      name="mlp")(y)
+        # norm2 + MLP as raw params for the same reason: on TPU the whole
+        # LN -> fc1 -> gelu -> fc2 suffix is one pallas program (ViT-B
+        # width; larger variants fall back to the composed XLA path)
+        ln2_scale, ln2_bias = _LnParams(self.dim, name="norm2")()
+        w1, b1, w2, b2 = _MlpParams(self.dim, int(self.dim * self.mlp_ratio),
+                                    name="mlp")()
+        mlp_out = ln_mlp_core(x, ln2_scale, ln2_bias, w1, b1, w2, b2,
+                              compute_dtype=self.dtype)
         x = x + self._drop_path(self._layer_scale(mlp_out, 'ls2_gamma'), deterministic)
         return x
 

@@ -124,6 +124,46 @@ def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
     return attention_qkv_core(qkv, heads, bias)
 
 
+def ln_mlp_core(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
+                compute_dtype=None, eps: float = 1e-6) -> jnp.ndarray:
+    """Block-suffix MLP entry: pre-LN LayerNorm + fc1 + exact gelu + fc2
+    from the raw residual stream x (B, N, C). Returns (B, N, C) pre-residual
+    MLP output. One pallas program on the TPU pallas backend (both weight
+    matrices VMEM-resident; ViT-B width only — ~9.4 MB bf16; ViT-L's 16.8 MB
+    doesn't fit the ~16 MB VMEM), XLA composition elsewhere."""
+    compute_dtype = compute_dtype or x.dtype
+    if _BACKEND == "pallas":
+        from . import pallas_attention as pa
+
+        b, n, c = x.shape
+        import os
+
+        # VMEM budget: weights 2*C*F*2 bytes + (N, F) f32 hidden
+        f = w1.shape[1]
+        vmem_est = 2 * c * f * 2 + n * f * 4 + 3 * n * c * 4
+        # default OFF: measured a 33% end-to-end LOSS at bs=1 (657 vs 975
+        # FPS) — XLA pipelines the two MXU matmuls across tiles/layers and
+        # hides the 9.4 MB weight stream, which one monolithic program
+        # cannot; kept as an opt-in experiment (UVLTRACK_FUSED_MLP=1)
+        if (pa._HAS_PALLAS and pa._on_tpu()
+                and os.environ.get("UVLTRACK_FUSED_MLP", "0") == "1"
+                and n >= int(os.environ.get("UVLTRACK_PALLAS_MIN_N", "128"))
+                and vmem_est < 14 * 1024 * 1024):
+            return pa.ln_mlp_trainable(
+                x, ln_scale, ln_bias, w1.astype(compute_dtype),
+                b1, w2.astype(compute_dtype), b2)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    h = jnp.dot(y.astype(compute_dtype), w1.astype(compute_dtype))
+    h = jax.nn.gelu(h + b1.astype(compute_dtype), approximate=False)
+    o = jnp.dot(h.astype(compute_dtype), w2.astype(compute_dtype))
+    return o + b2.astype(compute_dtype)
+
+
 def xla_attention(q, k, v, bias=None):
     d = q.shape[-1]
     scale = d ** -0.5

@@ -260,6 +260,91 @@ ln_qkv_attention_trainable.defvjp(_ln_qkv_attention_fwd,
                                   _ln_qkv_attention_bwd)
 
 
+def _ln_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   o_ref, *, eps: float):
+    """MLP-half fusion: fp32 LayerNorm + fc1 + exact gelu + fc2 in one
+    program (VitBlock's norm2 -> Mlp chain). Both weight matrices ride in
+    VMEM (~9.4 MB bf16 at ViT-B width), so the normalized activations and
+    the (N, 4C) hidden tensor never round-trip HBM."""
+    x = x_ref[0].astype(jnp.float32)  # (N, C)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    h = jax.lax.dot_general(
+        y.astype(w1_ref.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False)
+    o = jax.lax.dot_general(
+        h.astype(w2_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    o = o + b2_ref[...].astype(jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float = 1e-6,
+                 interpret: bool = False):
+    """x: (B, N, C); w1: (C, F); w2: (F, C) (bf16 recommended).
+    Returns (B, N, C) MLP output (pre-residual), dtype of w2."""
+    interpret = interpret or _FORCE_INTERPRET
+    b, n, c = x.shape
+    f = w1.shape[1]
+    spec_x = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_vc = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_vf = pl.BlockSpec((f,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_w1 = pl.BlockSpec((c, f), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_w2 = pl.BlockSpec((f, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), w2.dtype),
+        grid=(b,),
+        in_specs=[spec_x, spec_vc, spec_vc, spec_w1, spec_vf, spec_w2,
+                  spec_vc],
+        out_specs=spec_x,
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _xla_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float = 1e-6):
+    """Pure-XLA math of fused_ln_mlp; backward recompute target and the
+    CPU/parity path (mirrors nn.LayerNorm(fp32) -> Mlp at compute dtype)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    h = jnp.dot(y.astype(w1.dtype), w1, preferred_element_type=jnp.float32)
+    h = jax.nn.gelu(h + b1.astype(jnp.float32), approximate=False)
+    o = jnp.dot(h.astype(w2.dtype), w2, preferred_element_type=jnp.float32)
+    return (o + b2.astype(jnp.float32)).astype(w2.dtype)
+
+
+@jax.custom_vjp
+def ln_mlp_trainable(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    """Kernel forward, XLA-recompute backward (pattern of
+    ln_qkv_attention_trainable): gradients re-derive LN+fc1+gelu+fc2 from
+    the saved inputs — the (N, 4C) hidden tensor is never saved."""
+    return fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _ln_mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    out = fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _ln_mlp_bwd(res, g):
+    _, vjp = jax.vjp(_xla_ln_mlp, *res)
+    return vjp(g.astype(res[5].dtype))
+
+
+ln_mlp_trainable.defvjp(_ln_mlp_fwd, _ln_mlp_bwd)
+
+
 def _xla_qkv_attention(qkv, key_bias, heads: int, clamp: bool = False):
     """Pure-XLA qkv-layout attention. clamp=True mirrors the kernel's
     clip-to-±80 softmax exactly — the custom-VJP backward differentiates
