@@ -84,3 +84,32 @@ def test_batch_tracker_sharded_over_mesh_matches_single_chip():
         out_1 = bt_1.step(batch)
         np.testing.assert_allclose(out_m, out_1, rtol=1e-5, atol=1e-4)
     assert np.asarray(bt_m.state.frame_id).tolist() == [3] * S
+
+
+def test_step_many_matches_sequential_steps(bt):
+    """Scan-chunked stepping (one dispatch for T frames) must produce the
+    same per-frame outputs and final state as T sequential step() calls."""
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(4)]
+    boxes = np.array([[30, 20, 20, 24], [10, 10, 30, 30],
+                      [50, 40, 20, 20], [5, 5, 15, 15]], np.float32)
+    T = 3
+    blocks = np.stack([np.stack([
+        rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+        for _ in range(4)]) for _ in range(T)])
+
+    bt.initialize(frames, boxes)
+    seq = np.stack([bt.step(blocks[t]) for t in range(T)])
+    seq_state = jax.tree_util.tree_map(np.asarray, bt.state)
+
+    bt.initialize(frames, boxes)
+    many = bt.step_many(blocks)
+    many_state = jax.tree_util.tree_map(np.asarray, bt.state)
+
+    np.testing.assert_allclose(many, seq, atol=1e-4, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(many_state),
+                    jax.tree_util.tree_leaves(seq_state)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   atol=1e-4, rtol=1e-5)
