@@ -14,8 +14,11 @@ deferred readback) plus an "extra" dict with the other measured lines:
   - UVLTrack-L tracked FPS/chip (vs the 34 FPS 3090 baseline)
   - 8-stream UVLTrack-L lockstep aggregate FPS (BASELINE.json config 5)
 
-Extras run under a time budget (UVLTRACK_BENCH_BUDGET_S, default 900s) and
-each is fault-isolated, so the primary metric always prints.
+Extras run under a time budget (UVLTRACK_BENCH_BUDGET_S, default 600s,
+measured from the END of the primary so a cold ~13-min tunnel compile can't
+starve them) and each is fault-isolated; the headline JSON prints right
+after the primary AND again, complete, at the end — the last stdout JSON
+line is always parseable even if an outer timeout kills the extras.
 """
 
 from __future__ import annotations
@@ -199,7 +202,15 @@ def bench_multistream(config: str, streams: int, iters: int,
     out = np.asarray(packs)
     wall = time.perf_counter() - t0
     assert np.isfinite(out).all()
-    return streams * n_chunks * chunk / wall
+    agg = streams * n_chunks * chunk / wall
+    # free this leg's HBM before the next (model copies, frame blocks, and
+    # the leg's compiled programs in the global jit cache)
+    import gc
+
+    del packs, block, base, bt, variables, model
+    gc.collect()
+    jax.clear_caches()
+    return agg
 
 
 def main():
@@ -208,7 +219,7 @@ def main():
     from uvltrack_tpu.ops import attention
 
     platform = jax.devices()[0].platform
-    budget = float(os.environ.get("UVLTRACK_BENCH_BUDGET_S", "900"))
+    budget = float(os.environ.get("UVLTRACK_BENCH_BUDGET_S", "600"))
     warmup = int(os.environ.get("UVLTRACK_BENCH_WARMUP", "20"))
     iters = int(os.environ.get("UVLTRACK_BENCH_ITERS", "192"))  # 6 x chunk=32
     config = os.environ.get("UVLTRACK_BENCH_CONFIG", "baseline_base")
@@ -237,15 +248,43 @@ def main():
     log(f"[{elapsed():.0f}s] B deferred fps={fps_b:.1f} "
         f"sync p50={extra['sync_p50_ms']}ms")
 
+    # insurance for outer-timeout kills: the headline metric is already
+    # valid here — emit it now so the last JSON line on stdout is always
+    # parseable; the complete line (with extras) replaces it at the end
+    print(json.dumps({
+        "metric": "tracked_fps_per_chip_uvltrack_b",
+        "value": round(fps_b, 2), "unit": "fps",
+        "vs_baseline": round(fps_b / BASELINE_FPS_B, 3),
+        "extra": dict(extra)}), flush=True)
+
     # -------------------------------------------- extras, budget-bounded
+    # budget counts from here, not process start: a cold tracker compile
+    # through the tunnel costs up to ~13 min by itself and must not starve
+    # the extra metrics the driver records
+    extras_t0 = time.perf_counter()
+
+    def extras_elapsed():
+        return time.perf_counter() - extras_t0
+
     def run_extra(name, fn):
-        if elapsed() > budget:
-            log(f"[{elapsed():.0f}s] budget exhausted; skipping {name}")
+        if extras_elapsed() > budget:
+            log(f"[{elapsed():.0f}s] extras budget exhausted; skipping {name}")
             return
         try:
             fn()
         except Exception as e:
             log(f"extra '{name}' failed: {type(e).__name__}: {e}")
+        finally:
+            # each extra builds its own model/tracker AND compiled programs;
+            # executables live in jax's global jit cache beyond the Python
+            # objects and their HBM footprints stack up (sweep s8 measured
+            # RESOURCE_EXHAUSTED without this)
+            import gc
+
+            import jax
+
+            gc.collect()
+            jax.clear_caches()
 
     def upload():
         fps_up, overlap, up_ms = bench_upload_overlap(tracker, frames_np, iters)
@@ -276,7 +315,7 @@ def main():
         # UVLTrack-B (how MXU utilisation climbs with batch)
         curve = extra.setdefault("multistream_b_sweep_fps", {})
         for s in (2, 4, 8, 16):
-            if elapsed() > budget:
+            if extras_elapsed() > budget:
                 log(f"[{elapsed():.0f}s] budget exhausted in B-sweep at s={s}")
                 break
             try:
@@ -326,11 +365,14 @@ def main():
 
     if config == "baseline_base" and os.environ.get(
             "UVLTRACK_BENCH_EXTRAS", "1") == "1":
+        # sweep runs early: its s8/s16 legs OOM when they follow the L
+        # extras (server-side frees through the tunnel lag behind
+        # client-side gc + clear_caches)
         run_extra("upload_overlap", upload)
+        run_extra("multistream_b_sweep", multistream_b_sweep)
         run_extra("nlbbox_mode", nlbbox)
         run_extra("uvltrack_l", large)
         run_extra("multistream8_l", multistream)
-        run_extra("multistream_b_sweep", multistream_b_sweep)
 
     suffix = "b" if config == "baseline_base" else "l"
     baseline = BASELINE_FPS_B if suffix == "b" else BASELINE_FPS_L
