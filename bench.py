@@ -213,178 +213,224 @@ def bench_multistream(config: str, streams: int, iters: int,
     return agg
 
 
-def main():
+# ---------------------------------------------------------------- extras
+# Each heavyweight extra (own model build) runs in a SUBPROCESS: the tunnel
+# server reclaims a client's HBM only on disconnect — in-process gc +
+# jax.clear_caches() measurably do NOT free device memory through it, and
+# extras stack up to RESOURCE_EXHAUSTED. A fresh client per extra is the
+# only reliable isolation (verified: s8 sweep OOMs in-process after the L
+# legs, runs at full speed in a fresh process immediately after).
+
+
+def extra_nlbbox(config: str, iters: int) -> dict:
+    """Tri-modal path (flag 2: text branch live in every frame's joint
+    attention) — BASELINE.json config 3's speed aspect."""
+    import tempfile
+
+    from uvltrack_tpu.core.tokenizer import BertTokenizer
+    from uvltrack_tpu.track.tracker import Tracker
+
+    _, pool = frame_pool()
+    cfg2, model2, variables2, _ = make_tracker(config)
+    cfg2.TEST.MODE = "NLBBOX"
+    # real (tiny) vocab so the text tokens are actually unmasked in the
+    # joint attention — tokenizer=None would zero-fill ids AND mask,
+    # making "text branch live" true only in shape, not in dataflow
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as vf:
+        vf.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]",
+                            "the", "moving", "object"]) + "\n")
+    trk = Tracker(cfg2, model2, variables2, tokenizer=BertTokenizer(vf.name))
+    trk.initialize(np.asarray(pool[0]),
+                   {"init_bbox": [600.0, 300.0, 120.0, 160.0],
+                    "language": "the moving object"})
+    trk.track_many([pool[i % len(pool)] for i in range(32)])
+    # best-of-3 like bench_single: the first post-warmup dispatch chain
+    # through the tunnel is reliably 3-4x slower than steady state
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = trk.track_many([pool[i % len(pool)] for i in range(iters)])
+        walls.append(time.perf_counter() - t0)
+    assert np.isfinite(out).all()
+    return {"tracked_fps_nlbbox_mode_b": round(iters / min(walls), 2)}
+
+
+def extra_large(config: str, iters: int, warmup: int) -> dict:
+    _, pool = frame_pool()
+    _, _, _, trk_l = make_tracker("baseline_large")
+    fps_l, _ = bench_single(trk_l, pool, max(8, warmup // 2),
+                            max(64, iters // 3), repeats=2)
+    return {"tracked_fps_per_chip_uvltrack_l": round(fps_l, 2),
+            "uvltrack_l_vs_baseline": round(fps_l / BASELINE_FPS_L, 3)}
+
+
+def extra_multistream_l(config: str, iters: int) -> dict:
+    agg = bench_multistream("baseline_large", streams=8, iters=64, chunk=8)
+    return {"multistream8_l_aggregate_fps": round(agg, 2)}
+
+
+def extra_b_sweep(config: str, iters: int) -> dict:
+    """Service-mode throughput curve: aggregate FPS vs stream count (how
+    MXU utilisation climbs with batch)."""
+    curve = {}
+    for s in (2, 4, 8, 16):
+        try:
+            # s=16 with a 16-deep frame block deterministically kills the
+            # tunnel's remote-compile helper; shallower chunks fit
+            curve[f"s{s}"] = round(bench_multistream(
+                config, streams=s, iters=64, chunk=4 if s >= 16 else 16), 2)
+        except Exception as e:  # keep earlier points if one leg dies
+            log(f"B-sweep s={s} failed: {type(e).__name__}: {e}")
+            break
+    return {"multistream_b_sweep_fps": curve}
+
+
+def run_primary(config: str, iters: int, warmup: int) -> dict:
+    """Primary deferred/sync metric + the upload-overlap extra (which reuses
+    the primary tracker). Runs in its own subprocess like every other
+    measurement so the orchestrator never holds a tunnel client."""
     import jax
 
     from uvltrack_tpu.ops import attention
 
-    platform = jax.devices()[0].platform
-    budget = float(os.environ.get("UVLTRACK_BENCH_BUDGET_S", "600"))
-    warmup = int(os.environ.get("UVLTRACK_BENCH_WARMUP", "20"))
-    iters = int(os.environ.get("UVLTRACK_BENCH_ITERS", "192"))  # 6 x chunk=32
-    config = os.environ.get("UVLTRACK_BENCH_CONFIG", "baseline_base")
-
     frames_np, pool = frame_pool()
-    extra = {}
-
-    # ---------------------------------------------------------- primary (B)
     cfg, model, variables, tracker = make_tracker(config)
     try:
         fps_b, lat = bench_single(tracker, pool, warmup, iters)
     except Exception as e:  # pallas kernel may be unsupported on this runtime
         if attention.get_backend() == "pallas":
             log(f"pallas path failed ({e}); falling back to XLA attention")
-            # pin, not set: later extras call build_model -> configure_attention
-            # -> set_backend("pallas"), which would re-enable the broken path
+            # pin, not set: a later build_model -> configure_attention
+            # would re-enable the broken path
             attention.force_backend("xla")
             tracker.jt._step_cache.clear()
             tracker.jt._init_cache.clear()
             fps_b, lat = bench_single(tracker, pool, warmup, iters)
         else:
             raise
-    extra["sync_fps"] = round(1.0 / lat.mean(), 2)
-    extra["sync_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 3)
-    extra["sync_p90_ms"] = round(float(np.percentile(lat, 90)) * 1e3, 3)
-    log(f"[{elapsed():.0f}s] B deferred fps={fps_b:.1f} "
-        f"sync p50={extra['sync_p50_ms']}ms")
-
-    # insurance for outer-timeout kills: the headline metric is already
-    # valid here — emit it now so the last JSON line on stdout is always
-    # parseable; the complete line (with extras) replaces it at the end
-    print(json.dumps({
-        "metric": "tracked_fps_per_chip_uvltrack_b",
-        "value": round(fps_b, 2), "unit": "fps",
-        "vs_baseline": round(fps_b / BASELINE_FPS_B, 3),
-        "extra": dict(extra)}), flush=True)
-
-    # -------------------------------------------- extras, budget-bounded
-    # budget counts from here, not process start: a cold tracker compile
-    # through the tunnel costs up to ~13 min by itself and must not starve
-    # the extra metrics the driver records
-    extras_t0 = time.perf_counter()
-
-    def extras_elapsed():
-        return time.perf_counter() - extras_t0
-
-    def run_extra(name, fn):
-        if extras_elapsed() > budget:
-            log(f"[{elapsed():.0f}s] extras budget exhausted; skipping {name}")
-            return
-        try:
-            fn()
-        except Exception as e:
-            log(f"extra '{name}' failed: {type(e).__name__}: {e}")
-        finally:
-            # each extra builds its own model/tracker AND compiled programs;
-            # executables live in jax's global jit cache beyond the Python
-            # objects and their HBM footprints stack up (sweep s8 measured
-            # RESOURCE_EXHAUSTED without this)
-            import gc
-
-            import jax
-
-            gc.collect()
-            jax.clear_caches()
-
-    def upload():
-        fps_up, overlap, up_ms = bench_upload_overlap(tracker, frames_np, iters)
-        extra["fps_upload_included"] = round(fps_up, 2)
-        extra["upload_overlap_factor"] = round(overlap, 2)
-        extra["upload_ms_per_frame"] = round(up_ms * 1e3, 2)
-        log(f"[{elapsed():.0f}s] upload-included fps={fps_up:.1f} "
-            f"overlap x{overlap:.2f} (upload {up_ms * 1e3:.1f}ms/frame; "
-            "~1ms PCIe on a TPU VM, network-tunneled here)")
-
-    def large():
-        _, _, _, trk_l = make_tracker("baseline_large")
-        fps_l, lat_l = bench_single(trk_l, pool, max(8, warmup // 2),
-                                    max(64, iters // 3), repeats=2)
-        extra["tracked_fps_per_chip_uvltrack_l"] = round(fps_l, 2)
-        extra["uvltrack_l_vs_baseline"] = round(fps_l / BASELINE_FPS_L, 3)
-        log(f"[{elapsed():.0f}s] L deferred fps={fps_l:.1f} "
-            f"({fps_l / BASELINE_FPS_L:.1f}x 3090)")
-
-    def multistream():
-        agg = bench_multistream("baseline_large", streams=8, iters=64,
-                                chunk=8)
-        extra["multistream8_l_aggregate_fps"] = round(agg, 2)
-        log(f"[{elapsed():.0f}s] 8-stream L aggregate fps={agg:.1f}")
-
-    def multistream_b_sweep():
-        # service-mode throughput curve: aggregate FPS vs stream count for
-        # UVLTrack-B (how MXU utilisation climbs with batch)
-        curve = extra.setdefault("multistream_b_sweep_fps", {})
-        for s in (2, 4, 8, 16):
-            if extras_elapsed() > budget:
-                log(f"[{elapsed():.0f}s] budget exhausted in B-sweep at s={s}")
-                break
-            try:
-                # s=16 with a 16-deep frame block deterministically kills
-                # the tunnel's remote-compile helper; shallower chunks fit
-                curve[f"s{s}"] = round(bench_multistream(
-                    config, streams=s, iters=64,
-                    chunk=4 if s >= 16 else 16), 2)
-            except Exception as e:  # keep earlier points if one leg dies
-                log(f"B-sweep s={s} failed: {type(e).__name__}: {e}")
-                break
-        log(f"[{elapsed():.0f}s] B multistream sweep " + " ".join(
-            f"{k}={v}" for k, v in curve.items()))
-
-    def nlbbox():
-        # tri-modal path (flag 2: text branch live in every frame's joint
-        # attention) — BASELINE.json config 3's speed aspect
-        import jax
-
-        from uvltrack_tpu.track.tracker import Tracker
-
-        cfg2, model2, variables2, _ = make_tracker(config)
-        cfg2.TEST.MODE = "NLBBOX"
-        # real (tiny) vocab so the text tokens are actually unmasked in the
-        # joint attention — tokenizer=None would zero-fill ids AND mask,
-        # making "text branch live" true only in shape, not in dataflow
-        import tempfile
-
-        from uvltrack_tpu.core.tokenizer import BertTokenizer
-
-        with tempfile.NamedTemporaryFile(
-                "w", suffix=".txt", delete=False) as vf:
-            vf.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]",
-                                "the", "moving", "object"]) + "\n")
-        trk = Tracker(cfg2, model2, variables2,
-                      tokenizer=BertTokenizer(vf.name))
-        trk.initialize(np.asarray(pool[0]),
-                       {"init_bbox": [600.0, 300.0, 120.0, 160.0],
-                        "language": "the moving object"})
-        trk.track_many([pool[i % len(pool)] for i in range(32)])
-        t0 = time.perf_counter()
-        out = trk.track_many([pool[i % len(pool)] for i in range(iters)])
-        wall = time.perf_counter() - t0
-        assert np.isfinite(out).all()
-        extra["tracked_fps_nlbbox_mode_b"] = round(iters / wall, 2)
-        log(f"[{elapsed():.0f}s] B NLBBOX-mode fps={iters / wall:.1f}")
-
+    out = {
+        "fps_primary": round(fps_b, 2),
+        "platform": jax.devices()[0].platform,
+        "attn": attention.get_backend(),
+        "sync_fps": round(1.0 / lat.mean(), 2),
+        "sync_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 3),
+        "sync_p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 3),
+    }
+    log(f"[{elapsed():.0f}s] {config} deferred fps={fps_b:.1f} "
+        f"sync p50={out['sync_p50_ms']}ms")
     if config == "baseline_base" and os.environ.get(
             "UVLTRACK_BENCH_EXTRAS", "1") == "1":
-        # sweep runs early: its s8/s16 legs OOM when they follow the L
-        # extras (server-side frees through the tunnel lag behind
-        # client-side gc + clear_caches)
-        run_extra("upload_overlap", upload)
-        run_extra("multistream_b_sweep", multistream_b_sweep)
-        run_extra("nlbbox_mode", nlbbox)
-        run_extra("uvltrack_l", large)
-        run_extra("multistream8_l", multistream)
+        try:
+            fps_up, overlap, up_ms = bench_upload_overlap(
+                tracker, frames_np, iters)
+            out["fps_upload_included"] = round(fps_up, 2)
+            out["upload_overlap_factor"] = round(overlap, 2)
+            out["upload_ms_per_frame"] = round(up_ms * 1e3, 2)
+            log(f"[{elapsed():.0f}s] upload-included fps={fps_up:.1f} "
+                f"overlap x{overlap:.2f} (upload {up_ms * 1e3:.1f}ms/frame; "
+                "~1ms PCIe on a TPU VM, network-tunneled here)")
+        except Exception as e:
+            log(f"upload extra failed: {type(e).__name__}: {e}")
+    return out
+
+
+SUBPROCESS_EXTRAS = {
+    "primary": lambda cfg, it, wu: run_primary(cfg, it, wu),
+    "multistream_b_sweep": lambda cfg, it, wu: extra_b_sweep(cfg, it),
+    "nlbbox_mode": lambda cfg, it, wu: extra_nlbbox(cfg, it),
+    "uvltrack_l": lambda cfg, it, wu: extra_large(cfg, it, wu),
+    "multistream8_l": lambda cfg, it, wu: extra_multistream_l(cfg, it),
+}
+
+
+def run_extra_subprocess(name: str, config: str, timeout_s: float) -> dict:
+    """Run one extra as `python bench.py --extra NAME` and parse the last
+    JSON line of its stdout."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-u", os.path.abspath(__file__),
+         "--extra", name, "--config", config],
+        capture_output=True, text=True, timeout=timeout_s)
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"no JSON from extra subprocess (rc={proc.returncode}): "
+        f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else ''}")
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--extra", default=None,
+                   help="run ONE extra standalone and print its JSON dict "
+                        "(used by the parent bench via subprocess)")
+    p.add_argument("--config", default=None)
+    args = p.parse_args(argv)
+
+    budget = float(os.environ.get("UVLTRACK_BENCH_BUDGET_S", "900"))
+    warmup = int(os.environ.get("UVLTRACK_BENCH_WARMUP", "20"))
+    iters = int(os.environ.get("UVLTRACK_BENCH_ITERS", "192"))  # 6 x chunk=32
+    config = args.config or os.environ.get("UVLTRACK_BENCH_CONFIG",
+                                           "baseline_base")
+
+    if args.extra is not None:
+        result = SUBPROCESS_EXTRAS[args.extra](config, iters, warmup)
+        print(json.dumps(result), flush=True)
+        return
+
+    # ------------------------------------------------------- orchestrator
+    # This path NEVER initializes jax: the tunnel serves exactly one client
+    # at a time, a parent holding an idle connection visibly depresses a
+    # child's numbers (measured NLBBOX 385 vs 950 FPS), and the server only
+    # reclaims a client's HBM on disconnect — so every measurement runs in
+    # its own subprocess.
+    primary = run_extra_subprocess("primary", config, timeout_s=2400.0)
+    fps_b = primary.pop("fps_primary")
+    platform = primary.pop("platform", "?")
+    attn = primary.pop("attn", "?")
+    extra = dict(primary)
 
     suffix = "b" if config == "baseline_base" else "l"
     baseline = BASELINE_FPS_B if suffix == "b" else BASELINE_FPS_L
-    log(f"platform={platform} attn={attention.get_backend()} "
-        f"total {elapsed():.0f}s")
-    print(json.dumps({
+    metric = {
         "metric": f"tracked_fps_per_chip_uvltrack_{suffix}",
-        "value": round(fps_b, 2),
-        "unit": "fps",
+        "value": round(fps_b, 2), "unit": "fps",
         "vs_baseline": round(fps_b / baseline, 3),
-        "extra": extra,
-    }))
+    }
+    # insurance for outer-timeout kills: the headline metric is already
+    # valid — emit it now so the last JSON line on stdout is always
+    # parseable; the complete line (with extras) replaces it at the end
+    print(json.dumps({**metric, "extra": dict(extra)}), flush=True)
+
+    # budget counts from here: a cold tracker compile through the tunnel
+    # costs up to ~13 min by itself and must not starve the extras
+    extras_t0 = time.perf_counter()
+    if config == "baseline_base" and os.environ.get(
+            "UVLTRACK_BENCH_EXTRAS", "1") == "1":
+        # historical metrics first; the (slowest, bonus) sweep takes
+        # whatever budget remains
+        for name in ("nlbbox_mode", "uvltrack_l", "multistream8_l",
+                     "multistream_b_sweep"):
+            remaining = budget - (time.perf_counter() - extras_t0)
+            if remaining <= 30:
+                log(f"[{elapsed():.0f}s] extras budget exhausted; "
+                    f"skipping {name}")
+                continue
+            try:
+                result = run_extra_subprocess(
+                    name, config, timeout_s=max(120.0, remaining))
+                extra.update(result)
+                log(f"[{elapsed():.0f}s] {name}: " + " ".join(
+                    f"{k}={v}" for k, v in result.items()))
+            except Exception as e:
+                log(f"extra '{name}' failed: {type(e).__name__}: {e}")
+
+    log(f"platform={platform} attn={attn} total {elapsed():.0f}s")
+    print(json.dumps({**metric, "extra": extra}))
 
 
 if __name__ == "__main__":
