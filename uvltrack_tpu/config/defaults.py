@@ -158,6 +158,10 @@ def default_cfg() -> CfgNode:
     c.TPU.MESH_MODEL = 1
     c.TPU.REMAT = False  # jax.checkpoint the backbone blocks during training
     c.TPU.COMPILE_CACHE = ""  # persistent XLA compile cache dir ("" = off)
+    # Compute the pre-fusion BERT text stream once per sequence at tracker
+    # init instead of every frame (identical math; saves ~85 MB of bf16
+    # weight reads per frame at bs=1 ViT-B — see MUFE.encode_text).
+    c.TPU.CACHE_TEXT = True
     # "thread" | "process": loader worker pool kind. Threads are zero-copy
     # (enough when cv2 dominates); processes give true parallelism for the
     # numpy/Python stages like the reference's NUM_WORKER dataloader procs.

@@ -139,6 +139,58 @@ class MUFE(nn.Module):
         group = jnp.stack([vis_logits, txt_logits, (vis_logits + txt_logits) / 2], axis=1)
         return select_by_flag(group, flag)  # (B, Nx, 1)
 
+    # ---------------------------------------------------------- cached text
+    def encode_text(self, text_ids, text_mask):
+        """The pre-fusion text stream: embeddings -> text_proj -> the
+        n_bert = min(fusion_layers) BertLayers, exactly as the main loop
+        applies them for i < min(fusion_layers) (the interleave schedule is
+        a contiguous tail — the loop indexes bert_layers[i] and would fail
+        otherwise). Depends only on (text_ids, text_mask), which are
+        constant for a whole tracking sequence, so the tracker computes it
+        ONCE at initialize: bs=1 inference is weight-read bound and the
+        pre-fusion BERT layers are ~85 MB bf16 of per-frame HBM traffic
+        (6 x 7.1M params at ViT-B) the step then never pays. The reference
+        re-runs them every frame (lib/models/uvltrack/uvltrack.py forward
+        -> bert per call)."""
+        txt_feat = self.bert_embeddings(text_ids)
+        if self.text_proj is not None:
+            txt_feat = self.text_proj(txt_feat)
+        bert_bias = bert_attention_bias(text_mask)
+        for layer in self.bert_layers:
+            txt_feat = layer(txt_feat, bert_bias)
+        return txt_feat
+
+    def forward_cached_text(self, template, search, txt_feat, text_mask, flag):
+        """Inference forward consuming precomputed pre-fusion text features
+        (from encode_text). Identical math to __call__ minus the per-layer
+        contrastive logits, which nothing consumes at test time (the head
+        derives cont_score from the prompt; `logits` feeds only the training
+        aux loss)."""
+        img_feat = self.patchify(template, search)
+        joint_masked, visual_masked = self.cat_mask(text_mask, flag)
+        n_img = img_feat.shape[1]
+        fusion = set(self.fusion_layers)
+        for i in range(self.depth):
+            if i in fusion:
+                e = jnp.concatenate(
+                    [img_feat + self.modal_embed[0].astype(self.dtype),
+                     txt_feat + self.modal_embed[1].astype(self.dtype)], axis=1)
+                e = self.blocks[i](e, joint_masked, True)
+                img_feat, txt_feat = e[:, :n_img], e[:, n_img:]
+            else:
+                img_feat = self.blocks[i](img_feat, visual_masked, True)
+        vis_token = img_feat[:, :1]
+        z = img_feat[:, 1 : 1 + self.num_patches_z]
+        x = img_feat[:, 1 + self.num_patches_z :]
+        return {
+            "search": x,
+            "template": z,
+            "text": txt_feat,
+            "vis_token": vis_token,
+            "txt_token": self.txt_token(txt_feat, text_mask),
+            "flag": flag.reshape(-1),
+        }
+
     # ---------------------------------------------------------------- forward
     def __call__(self, template, search, text_ids, text_mask, flag,
                  train: bool = False):

@@ -47,6 +47,20 @@ class UVLTrack(nn.Module):
         out = self.backbone(template, search, text_ids, text_mask, flag)
         return self.head(out, prompt=prompt, train=False)
 
+    def encode_text(self, text_ids, text_mask):
+        """Pre-fusion text features — constant per tracking sequence; the
+        tracker computes this once at initialize (see MUFE.encode_text)."""
+        return self.backbone.encode_text(text_ids, text_mask)
+
+    def forward_test_cached(self, template, search, txt_feat, text_mask,
+                            prompt, flag):
+        """forward_test with the pre-fusion text stream precomputed: the
+        per-frame step skips the BERT layers entirely (same math — locked
+        by tests/test_cached_text.py)."""
+        out = self.backbone.forward_cached_text(template, search, txt_feat,
+                                                text_mask, flag)
+        return self.head(out, prompt=prompt, train=False)
+
 
 def parse_dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,

@@ -80,10 +80,22 @@ class BatchTracker:
         self.threshold = float(cfg.TEST.THRESHOLD)
         self.has_cont = float(cfg.TRAIN.CONT_WEIGHT) > 0
         self.window = hanning2d_flat(self.map_size)
+        # pre-fusion text features computed once per sequence (Tracker's
+        # TPU.CACHE_TEXT; see MUFE.encode_text)
+        self.cache_text = bool(getattr(cfg.TPU, "CACHE_TEXT", True))
+        self._text_fn = None
         self._step_cache = {}
         self._init_cache = {}
         self._raw_fn_cache = {}
         self._many_cache = {}
+
+    def text_fn(self):
+        if self._text_fn is None:
+            import functools
+
+            self._text_fn = jax.jit(functools.partial(
+                self.model.apply, method=UVLTrack.encode_text))
+        return self._text_fn
 
     # ------------------------------------------------------------------ init
     def _init_fn(self, hw):
@@ -142,6 +154,11 @@ class BatchTracker:
             self.flags)
         self.template = template          # (S, tz, tz, 3)
         self.template_mask = template_mask  # (S, z)
+        if self.cache_text:  # (S, Nt, C) per-stream, constant per sequence
+            self.txt = self.text_fn()(
+                self.variables, self.text_ids, self.text_mask)
+        else:
+            self.txt = self.text_ids
 
         s = (self.search_size // 16) ** 2
         z = (self.template_size // 16) ** 2
@@ -170,16 +187,19 @@ class BatchTracker:
             do_update = self.has_cont and interval > 0
             model = self.model
 
+            test_method = (UVLTrack.forward_test_cached if self.cache_text
+                           else UVLTrack.forward_test)
+
             def fn(variables, state: BatchState, frames, template,
-                   template_mask, text_ids, text_mask, flags):
+                   template_mask, txt, text_mask, flags):
                 S = frames.shape[0]
                 crops, rf = jax.vmap(
                     lambda f, b: sample_target_device(f, b, self.search_factor, sz)
                 )(frames, state.box)
                 search = crops[:, 0]  # (S, sx, sx, 3)
-                out = model.apply(variables, template, search, text_ids,
+                out = model.apply(variables, template, search, txt,
                                   text_mask, state.prompt, flags,
-                                  method=UVLTrack.forward_test)
+                                  method=test_method)
                 cls = out["cls_score_test"].reshape(S, -1).astype(jnp.float32)
                 if self.has_cont:
                     cont = jax.nn.softmax(
@@ -277,7 +297,7 @@ class BatchTracker:
         hw = (int(frames.shape[1]), int(frames.shape[2]))
         self.state, packed = self._step_fn(hw)(
             self.variables, self.state, frames, self.template,
-            self.template_mask, self.text_ids, self.text_mask, self.flags)
+            self.template_mask, self.txt, self.text_mask, self.flags)
         return np.asarray(packed, np.float64)
 
     def step_async(self, frames):
@@ -288,7 +308,7 @@ class BatchTracker:
         hw = (int(frames.shape[1]), int(frames.shape[2]))
         self.state, packed = self._step_fn(hw)(
             self.variables, self.state, frames, self.template,
-            self.template_mask, self.text_ids, self.text_mask, self.flags)
+            self.template_mask, self.txt, self.text_mask, self.flags)
         return packed
 
     def step_many_async(self, frames_t):
@@ -306,7 +326,7 @@ class BatchTracker:
         hw = (int(frames_t.shape[2]), int(frames_t.shape[3]))
         self.state, packs = self._many_fn(hw)(
             self.variables, self.state, frames_t, self.template,
-            self.template_mask, self.text_ids, self.text_mask, self.flags)
+            self.template_mask, self.txt, self.text_mask, self.flags)
         return packs
 
     def step_many(self, frames_t) -> np.ndarray:

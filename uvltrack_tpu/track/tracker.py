@@ -60,10 +60,21 @@ class JitTracker:
         self.threshold = float(cfg.TEST.THRESHOLD)
         self.has_cont = float(cfg.TRAIN.CONT_WEIGHT) > 0
         self.window = hanning2d_flat(self.map_size)
+        # compute the pre-fusion BERT text stream once per sequence instead
+        # of every frame (identical math; ~85 MB bf16 weight reads/frame
+        # saved at bs=1 ViT-B — MUFE.encode_text)
+        self.cache_text = bool(getattr(cfg.TPU, "CACHE_TEXT", True))
+        self._text_fn = None
         self._step_cache = {}
         self._scan_cache = {}
         self._init_cache = {}
         self._ground_cache = {}
+
+    def text_fn(self):
+        if self._text_fn is None:
+            self._text_fn = jax.jit(functools.partial(
+                self.model.apply, method=UVLTrack.encode_text))
+        return self._text_fn
 
     # NOTE: all jitted functions take `variables` as an explicit argument —
     # closing over the param tree bakes it into the HLO as constants and
@@ -124,13 +135,18 @@ class JitTracker:
         interval = self.update_interval
         do_update = self.has_cont and interval > 0
 
+        # `txt` is the cached pre-fusion text features when cache_text (the
+        # default), else the raw text_ids
+        test_method = (UVLTrack.forward_test_cached if self.cache_text
+                       else UVLTrack.forward_test)
+
         def fn(variables, state: TrackerState, frame, template, template_mask,
-               text_ids, text_mask, flag):
+               txt, text_mask, flag):
                 search, resize_factor = sample_target_device(
                     frame, state.box, self.search_factor, sz)
-                out = self.model.apply(variables, template, search, text_ids,
+                out = self.model.apply(variables, template, search, txt,
                                        text_mask, state.prompt, flag,
-                                       method=UVLTrack.forward_test)
+                                       method=test_method)
                 cls = out["cls_score_test"].reshape(-1).astype(jnp.float32)
                 if self.has_cont:
                     cont = jax.nn.softmax(
@@ -207,10 +223,10 @@ class JitTracker:
 
             @jax.jit
             def fn(variables, state, frames, template, template_mask,
-                   text_ids, text_mask, flag):
+                   txt, text_mask, flag):
                 def body(st, frame):
                     new_st, packed = core(variables, st, frame, template,
-                                          template_mask, text_ids, text_mask, flag)
+                                          template_mask, txt, text_mask, flag)
                     return new_st, packed
 
                 state, packs = jax.lax.scan(body, state, frames)
@@ -279,6 +295,13 @@ class Tracker:
             self.jt.variables, frame, box, self.text_ids, self.text_mask, self.flag)
         self.template = template
         self.template_mask = template_mask
+        # per-sequence constant consumed by the step: cached pre-fusion text
+        # features (default) or the raw ids (TPU.CACHE_TEXT=False debug path)
+        if self.jt.cache_text:
+            self.txt = self.jt.text_fn()(
+                self.jt.variables, self.text_ids, self.text_mask)
+        else:
+            self.txt = self.text_ids
 
         s = (self.jt.search_size // 16) ** 2
         z = (self.jt.template_size // 16) ** 2
@@ -310,7 +333,7 @@ class Tracker:
         step = self.jt.step_fn(hw)
         self.state, packed = step(
             self.jt.variables, self.state, jnp.asarray(image), self.template,
-            self.template_mask, self.text_ids, self.text_mask, self.flag)
+            self.template_mask, self.txt, self.text_mask, self.flag)
         return packed
 
     def track_many(self, images, chunk: int = 32) -> np.ndarray:
@@ -331,7 +354,7 @@ class Tracker:
                 fn = self.jt.scan_fn(hw, chunk)
                 self.state, packs = fn(
                     self.jt.variables, self.state, frames, self.template,
-                    self.template_mask, self.text_ids, self.text_mask, self.flag)
+                    self.template_mask, self.txt, self.text_mask, self.flag)
                 outs.append(packs)
             else:  # remainder (or resolution change): single steps
                 outs.append(jnp.stack([self.track_async(im) for im in group]))
