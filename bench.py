@@ -303,8 +303,15 @@ def run_primary(config: str, iters: int, warmup: int) -> dict:
             # pin, not set: a later build_model -> configure_attention
             # would re-enable the broken path
             attention.force_backend("xla")
+            # drop EVERY pallas-traced program, not just the per-frame step:
+            # the failure can first surface in the scan-chunk compile
+            # (track_many) or the cached-text encode, and a stale entry
+            # would refail the retry
             tracker.jt._step_cache.clear()
             tracker.jt._init_cache.clear()
+            tracker.jt._scan_cache.clear()
+            tracker.jt._ground_cache.clear()
+            tracker.jt._text_fn = None
             fps_b, lat = bench_single(tracker, pool, warmup, iters)
         else:
             raise

@@ -86,6 +86,44 @@ def test_batch_tracker_sharded_over_mesh_matches_single_chip():
     assert np.asarray(bt_m.state.frame_id).tolist() == [3] * S
 
 
+def test_batch_tracker_mesh_pads_non_divisible_streams():
+    """run_dataset_batched buckets sequences by resolution, so remainder
+    groups are any size — a 5-stream group on an 8-device mesh must pad
+    internally (replayed streams, outputs sliced off) and match the
+    unsharded tracker."""
+    from uvltrack_tpu.parallel.mesh import make_mesh
+
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    S = 5
+    mesh = make_mesh(data=8, model=1)
+    bt_m = BatchTracker(tiny_cfg(), model, variables, num_streams=S, mesh=mesh)
+    bt_1 = BatchTracker(tiny_cfg(), model, variables, num_streams=S)
+    assert bt_m.S_pad == 8 and bt_m.S == 5 and bt_1.S_pad == 5
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(S)]
+    boxes = np.tile([30.0, 20, 20, 24], (S, 1)).astype(np.float32)
+    boxes[:, 0] += np.arange(S)
+    bt_m.initialize(frames, boxes)
+    bt_1.initialize(frames, boxes)
+    bt_m.set_active(np.array([True] * 4 + [False]))
+    bt_1.set_active(np.array([True] * 4 + [False]))
+
+    for t in range(2):
+        batch = np.stack([rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+                          for _ in range(S)])
+        out_m = bt_m.step(batch)
+        out_1 = bt_1.step(batch)
+        assert out_m.shape == (S, 5)
+        np.testing.assert_allclose(out_m, out_1, rtol=1e-5, atol=1e-4)
+    # the frozen stream plus the pad streams never advance
+    assert np.asarray(bt_m.state.frame_id).tolist() == [2] * 4 + [0] * 4
+
+
 def test_step_many_matches_sequential_steps(bt):
     """Scan-chunked stepping (one dispatch for T frames) must produce the
     same per-frame outputs and final state as T sequential step() calls."""

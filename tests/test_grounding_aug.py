@@ -133,6 +133,11 @@ def test_flip_rewrites_phrase_and_mirrors_box():
 
 def test_flip_phrase_round_trip():
     assert flip_phrase("left of the right hand") == "right of the left hand"
+    # capitalized direction words must still swap (IGNORECASE match)
+    assert flip_phrase("Left person in white") == "right person in white"
+    assert flip_phrase("the RIGHT one") == "the left one"
+    # 'lefty'/'rights' are not direction words
+    assert flip_phrase("lefty rights") == "lefty rights"
     assert has_directions("the top shelf") and not has_directions("a red car")
 
 
@@ -259,3 +264,33 @@ def test_grounding_test_mode_plain_letterbox():
     # both search frames are the SAME letterboxed grounding frame
     assert np.allclose(out["search_images"][0], out["search_images"][1])
     assert np.allclose(out["search_anno"][0], out["search_anno"][1])
+
+
+def test_grounding_test_index_iterates_sequences_once():
+    """The loader's draw index maps 1:1 to sequence ids (the reference's
+    sample_grounding_test(i) consumes the DataLoader index), so one epoch
+    scores every sequence exactly once instead of a with-replacement
+    multiset."""
+    from test_data_pipeline import FakeTok, FakeVideoDataset, small_cfg
+    from uvltrack_tpu.data.processing import TrackProcessing
+    from uvltrack_tpu.data.sampler import GroundingAndTrackingSampler
+
+    cfg = small_cfg()
+    proc = TrackProcessing(cfg, rng=np.random.default_rng(0))
+    ds = FakeVideoDataset()
+    s = GroundingAndTrackingSampler(
+        [ds], [1.0], samples_per_epoch=50, max_gap=10, processing=proc,
+        num_search_frames=2, mode="grounding_test", tokenizer=FakeTok(),
+        max_query_len=12, seed=1)
+    n = ds.get_num_sequences()
+    seen = []
+    orig = ds.get_sequence_info
+
+    def spy(seq_id):
+        seen.append(seq_id)
+        return orig(seq_id)
+
+    ds.get_sequence_info = spy
+    for i in range(n):
+        s.sample(index=i)
+    assert seen == list(range(n))

@@ -72,26 +72,43 @@ def test_worker_modes_produce_frame_major_batches(mode, monkeypatch):
 
 
 def test_process_workers_are_deterministic_per_worker():
-    """reseed(worker_id) keys each process's stream only by
-    (seed, worker_id): every value a 2-worker pool draws comes from one of
-    the two precomputable streams (scheduling decides how many per worker,
-    never which numbers)."""
+    """reseed(epoch*num_workers + worker_id) keys each process's stream only
+    by (seed, epoch, worker_id): every value a 2-worker pool draws in epoch
+    e comes from one of the two precomputable streams (scheduling decides
+    how many per worker, never which numbers)."""
     from uvltrack_tpu.data.sampler import _ThreadLocalRng
 
-    expected = set()
-    for wid in (0, 1):
+    def stream_values(wid, n=64):
         r = _ThreadLocalRng(5)
         r.reseed(wid)
         gen = r.get()
-        expected |= {np.float32(gen.random()) for _ in range(64)}
+        return {np.float32(gen.random()) for _ in range(n)}
 
     loader = SamplerLoader(CountingSampler(seed=5), batch_size=8,
                            steps_per_epoch=2, num_workers=2,
                            worker_mode="process")
-    drawn = []
-    for b in loader:
-        drawn += list(b["search_images"][0, :, 0, 0, 0])
-    assert drawn and all(v in expected for v in drawn)
+    for epoch in (1, 2):  # epoch counter starts at 1
+        expected = stream_values(2 * epoch) | stream_values(2 * epoch + 1)
+        drawn = []
+        for b in loader:
+            drawn += list(b["search_images"][0, :, 0, 0, 0])
+        assert drawn and all(v in expected for v in drawn)
+
+
+def test_process_worker_epochs_draw_distinct_streams():
+    """A fresh pool is built per epoch and workers fork from a parent whose
+    RNG never advances — without the epoch offset in the reseed key, every
+    epoch would replay epoch 1's samples exactly."""
+    loader = SamplerLoader(CountingSampler(seed=9), batch_size=6,
+                           steps_per_epoch=2, num_workers=2,
+                           worker_mode="process")
+    epochs = []
+    for _ in range(2):
+        vals = []
+        for b in loader:
+            vals += list(b["search_images"][0, :, 0, 0, 0])
+        epochs.append(set(np.float32(v) for v in vals))
+    assert epochs[0].isdisjoint(epochs[1])
 
 
 def test_per_sample_host_cost_guard():

@@ -471,6 +471,9 @@ class WebUAV(BaseVideoDataset):
             d for d in os.listdir(base)
             if os.path.isdir(os.path.join(base, d))) if os.path.isdir(base) else []
         self._base = base
+        self._frame_lists = {}  # seq_id -> sorted img paths (glob once, not
+        # per draw: WebUAV sequences run to thousands of frames and the
+        # sampler indexes 2-3 of them per sample)
 
     def is_grounding_sequence(self):
         return True
@@ -507,8 +510,10 @@ class WebUAV(BaseVideoDataset):
         return None
 
     def get_frames(self, seq_id, frame_ids, anno=None):
-        path = self._seq_path(seq_id)
-        images = sorted(glob.glob(os.path.join(path, "img", "*")))
+        images = self._frame_lists.get(seq_id)
+        if images is None:
+            images = self._frame_lists[seq_id] = sorted(
+                glob.glob(os.path.join(self._seq_path(seq_id), "img", "*")))
         frames = [self.image_loader(images[i]) for i in frame_ids]
         anno = anno or self.get_sequence_info(seq_id)
         frame_annos = {k: [v[i] for i in frame_ids] for k, v in anno.items()}

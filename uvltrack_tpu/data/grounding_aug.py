@@ -34,7 +34,10 @@ def flip_phrase(phrase: str) -> str:
     reference's token-id swap 2187<->2157 (grounding2.py:148-151)."""
 
     def swap(m):
-        return "right" if m.group(0) == "left" else "left"
+        # lowercase before comparing — the IGNORECASE match also catches
+        # 'Left'/'LEFT', which must still swap (the reference swaps BERT
+        # token ids post-lowercasing, so it cannot mis-swap)
+        return "right" if m.group(0).lower() == "left" else "left"
 
     return re.sub(r"\b(left|right)\b", swap, phrase, flags=re.IGNORECASE)
 

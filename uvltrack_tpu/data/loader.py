@@ -36,18 +36,25 @@ def collate_frame_major(samples: list) -> dict:
 _WORKER_SAMPLER = None
 
 
-def _process_worker_init(sampler, counter):
+def _process_worker_init(sampler, counter, base):
+    """base offsets the worker id by epoch*num_workers: a fresh pool is
+    built every epoch and workers fork from a parent whose sampler RNG
+    never advances (all draws happen in workers), so reseeding with a bare
+    0..N-1 id would replay the identical sample stream every epoch."""
     global _WORKER_SAMPLER
     with counter.get_lock():
-        wid = counter.value
+        wid = base + counter.value
         counter.value += 1
     if hasattr(sampler, "reseed"):
         sampler.reseed(wid)
     _WORKER_SAMPLER = sampler
 
 
-def _process_worker_draw():
-    return _WORKER_SAMPLER()
+def _process_worker_draw(index=None):
+    try:
+        return _WORKER_SAMPLER(index)
+    except TypeError:  # index-less sampler callable
+        return _WORKER_SAMPLER()
 
 
 class SamplerLoader:
@@ -72,6 +79,7 @@ class SamplerLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.worker_mode = worker_mode
+        self._epoch = 0  # distinct process-worker reseeds per epoch
 
     def __len__(self):
         return self.steps_per_epoch
@@ -87,10 +95,19 @@ class SamplerLoader:
             return ProcessPoolExecutor(
                 self.num_workers, mp_context=ctx,
                 initializer=_process_worker_init,
-                initargs=(self.sampler, counter)), _process_worker_draw
-        return ThreadPoolExecutor(self.num_workers), self.sampler
+                initargs=(self.sampler, counter,
+                          self._epoch * self.num_workers)), _process_worker_draw
+
+        def draw(index=None):
+            try:
+                return self.sampler(index)
+            except TypeError:  # index-less sampler callable
+                return self.sampler()
+
+        return ThreadPoolExecutor(self.num_workers), draw
 
     def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -98,11 +115,15 @@ class SamplerLoader:
             try:
                 pool, draw = self._make_pool()
                 with pool:
+                    k = 0  # global draw index: grounding_test samplers map
+                    # it to a sequence id so one epoch covers each sequence
                     for _ in range(self.steps_per_epoch):
                         if stop.is_set():
                             return
-                        futures = [pool.submit(draw)
-                                   for _ in range(self.batch_size)]
+                        futures = []
+                        for _ in range(self.batch_size):
+                            futures.append(pool.submit(draw, k))
+                            k += 1
                         samples = [f.result() for f in futures]
                         q.put(collate_frame_major(samples))
             except Exception as e:  # surface worker errors to the consumer
@@ -183,7 +204,15 @@ def build_val_loaders(cfg: CfgNode, global_batch: int, seed: int = 7):
             tokenizer=tok,
             max_query_len=int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN),
             seed=seed)
-        out[name] = SamplerLoader(sampler, global_batch, spe // global_batch,
+        if mode == "grounding_test":
+            # one val epoch scores every sequence: len(sampler) is the
+            # dataset's sequence count and the loader's draw index maps to
+            # sequence ids (reference DataLoader semantics); ceil so small
+            # datasets still yield a batch (the remainder wraps)
+            steps = -(-len(sampler) // global_batch)
+        else:
+            steps = spe // global_batch
+        out[name] = SamplerLoader(sampler, global_batch, steps,
                                   num_workers=int(cfg.TRAIN.NUM_WORKER),
                                   worker_mode=str(getattr(
                                       cfg.TPU, "LOADER_WORKER_MODE", "thread")))

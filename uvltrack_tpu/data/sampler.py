@@ -224,12 +224,15 @@ class GroundingAndTrackingSampler:
             return [tid], sorted(sids)
 
     # ---------------------------------------------------------------- public
-    def sample(self) -> dict:
+    def sample(self, index: Optional[int] = None) -> dict:
+        """index: the loader's global draw counter — consumed only by
+        grounding_test (sequence = index % n, reference DataLoader
+        semantics); every other task draws randomly like the reference."""
         while True:
             task = self._roll_task()
             dataset = self._pick_dataset(task)
             if self.mode == "grounding_test":
-                out = self._sample_grounding_test(dataset)
+                out = self._sample_grounding_test(dataset, index)
             elif task == 1:
                 out = self._sample_grounding(dataset)
             elif task == 2:
@@ -330,11 +333,18 @@ class GroundingAndTrackingSampler:
             return None
         return self._finalize(sample, flag=1)
 
-    def _sample_grounding_test(self, dataset) -> Optional[dict]:
-        """Validation grounding sample (sampler.py:496-522): a random
-        sequence's frame [0] through the plain letterbox — no augmentation,
-        no extra search frames."""
-        seq_id = int(self.rng.integers(0, dataset.get_num_sequences()))
+    def _sample_grounding_test(self, dataset,
+                               index: Optional[int] = None) -> Optional[dict]:
+        """Validation grounding sample (sampler.py:496-522): sequence
+        `index`'s frame [0] through the plain letterbox — no augmentation,
+        no extra search frames. The reference's sample_grounding_test(i)
+        receives the DataLoader index, so one epoch scores every sequence
+        exactly once; the loader passes the draw index through for the same
+        semantics (a with-replacement fallback covers index-less callers)."""
+        if index is not None:
+            seq_id = int(index) % dataset.get_num_sequences()
+        else:
+            seq_id = int(self.rng.integers(0, dataset.get_num_sequences()))
         info = dataset.get_sequence_info(seq_id)
         frames, anno, meta = dataset.get_frames(seq_id, [0], info)
         language = meta.get("language") or DEFAULT_CAPTION

@@ -94,25 +94,32 @@ def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
     VJP. The XLA fallback composes the same math (fast-variance fp32 LN,
     matching flax LayerNorm defaults)."""
     compute_dtype = compute_dtype or x.dtype
-    if _BACKEND == "pallas":
-        from . import pallas_attention as pa
+    from . import pallas_attention as pa
 
-        b, n, c = x.shape
+    b, n, c = x.shape
+    # key-padding bias (the only masking UVLTrack uses) in (B, N) form;
+    # None = some other bias shape, which only the generic path handles
+    key_bias = None
+    if bias is None:
+        key_bias = jnp.zeros((b, n), jnp.float32)
+    elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+        key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+    if _BACKEND == "pallas":
         import os
 
-        if (pa._HAS_PALLAS and pa._on_tpu()
+        if (key_bias is not None and pa._HAS_PALLAS and pa._on_tpu()
                 and os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1"
                 and n >= int(os.environ.get("UVLTRACK_PALLAS_MIN_N", "128"))):
-            key_bias = None
-            if bias is None:
-                key_bias = jnp.zeros((b, n), jnp.float32)
-            elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
-                key_bias = bias[:, 0, 0, :].astype(jnp.float32)
-            if key_bias is not None:
-                return pa.ln_qkv_attention_trainable(
-                    heads, x, ln_scale, ln_bias,
-                    w_qkv.astype(compute_dtype), b_qkv, key_bias)
-    # XLA fallback — identical math path used by CPU tests and non-TPU runs
+            return pa.ln_qkv_attention_trainable(
+                heads, x, ln_scale, ln_bias,
+                w_qkv.astype(compute_dtype), b_qkv, key_bias)
+    # XLA fallback (CPU tests / non-TPU runs): the SAME composition the
+    # kernel's custom-VJP backward recomputes, so forward, gradient and
+    # parity math never drift apart
+    if key_bias is not None:
+        return pa._xla_ln_qkv_attention(
+            x, ln_scale, ln_bias, w_qkv.astype(compute_dtype), b_qkv,
+            key_bias, heads, eps=eps)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -132,15 +139,17 @@ def ln_mlp_core(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
     matrices VMEM-resident; ViT-B width only — ~9.4 MB bf16; ViT-L's 16.8 MB
     doesn't fit the ~16 MB VMEM), XLA composition elsewhere."""
     compute_dtype = compute_dtype or x.dtype
-    if _BACKEND == "pallas":
-        from . import pallas_attention as pa
+    from . import pallas_attention as pa
 
+    if _BACKEND == "pallas":
         b, n, c = x.shape
         import os
 
-        # VMEM budget: weights 2*C*F*2 bytes + (N, F) f32 hidden
+        # VMEM budget: weights 2*C*F at the COMPUTE dtype's width (fp32
+        # compute doubles the footprint) + (N, F) f32 hidden
         f = w1.shape[1]
-        vmem_est = 2 * c * f * 2 + n * f * 4 + 3 * n * c * 4
+        wbytes = jnp.dtype(compute_dtype).itemsize
+        vmem_est = 2 * c * f * wbytes + n * f * 4 + 3 * n * c * 4
         # default OFF: measured a 33% end-to-end LOSS at bs=1 (657 vs 975
         # FPS) — XLA pipelines the two MXU matmuls across tiles/layers and
         # hides the 9.4 MB weight stream, which one monolithic program
@@ -152,16 +161,9 @@ def ln_mlp_core(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
             return pa.ln_mlp_trainable(
                 x, ln_scale, ln_bias, w1.astype(compute_dtype),
                 b1, w2.astype(compute_dtype), b2)
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
-    h = jnp.dot(y.astype(compute_dtype), w1.astype(compute_dtype))
-    h = jax.nn.gelu(h + b1.astype(compute_dtype), approximate=False)
-    o = jnp.dot(h.astype(compute_dtype), w2.astype(compute_dtype))
-    return o + b2.astype(compute_dtype)
+    # XLA fallback: the kernel's backward-recompute twin (no math drift)
+    return pa._xla_ln_mlp(x, ln_scale, ln_bias, w1.astype(compute_dtype),
+                          b1, w2.astype(compute_dtype), b2, eps=eps)
 
 
 def xla_attention(q, k, v, bias=None):

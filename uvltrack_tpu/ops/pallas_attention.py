@@ -162,7 +162,10 @@ def _ln_qkv_attn_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, bias_ref, o_ref,
     hd = heads * head_dim
     x = x_ref[0].astype(jnp.float32)  # (N, C)
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    # clamp like flax LayerNorm: fp32 cancellation on a large-mean
+    # near-constant row can push fast-variance below -eps -> NaN rsqrt
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean,
+                      0.0)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     y = y * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
     qkv = jax.lax.dot_general(
@@ -222,7 +225,8 @@ def _xla_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias,
     and the CPU/parity reference."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
     qkv = jnp.dot(y.astype(w_qkv.dtype), w_qkv,
@@ -268,7 +272,8 @@ def _ln_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     the (N, 4C) hidden tensor never round-trip HBM."""
     x = x_ref[0].astype(jnp.float32)  # (N, C)
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean,
+                      0.0)  # clamp like flax LayerNorm (see _ln_qkv_attn_kernel)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     y = y * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
     h = jax.lax.dot_general(

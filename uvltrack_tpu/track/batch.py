@@ -46,7 +46,8 @@ class BatchTracker:
     def __init__(self, cfg, model: UVLTrack, variables: dict, num_streams: int,
                  tokenizer=None, mesh=None):
         """mesh: optional jax.sharding.Mesh — streams shard over its "data"
-        axis (num_streams must divide by it), replacing the reference's
+        axis (any num_streams: non-divisible counts are padded up to the
+        next multiple with replayed streams), replacing the reference's
         one-process-per-GPU eval pool with SPMD inference over all chips:
         weights replicated, every per-stream array (frames, state, prompts)
         split on the stream axis, collectives-free (pure data parallel)."""
@@ -57,17 +58,22 @@ class BatchTracker:
 
             variables = cast_inference_variables(variables)
         self.mesh = mesh
+        self.S = num_streams       # caller-visible stream count
+        self.S_pad = num_streams   # internal (device) count
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            assert num_streams % int(mesh.shape["data"]) == 0, (
-                num_streams, dict(mesh.shape))
+            # arbitrary group sizes (run_dataset_batched buckets sequences
+            # by resolution, so remainder groups are any size) are padded up
+            # to the next multiple of the data axis; the pad streams replay
+            # the last real stream and their outputs are sliced off
+            n_data = int(mesh.shape["data"])
+            self.S_pad = -(-num_streams // n_data) * n_data
             self._repl = NamedSharding(mesh, P())
             self._stream = lambda ndim: NamedSharding(
                 mesh, P(*(["data"] + [None] * (ndim - 1))))
             variables = jax.device_put(variables, self._repl)
         self.variables = variables
-        self.S = num_streams
         self.tokenizer = tokenizer
         self.nt = int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN)
         self.embed_dim = model.backbone.embed_dim
@@ -124,9 +130,17 @@ class BatchTracker:
                    languages: Optional[List[Optional[str]]] = None,
                    modes: Optional[List[str]] = None):
         """frames: S first frames (same resolution); boxes: (S,4) xywh."""
-        S = self.S
-        assert len(frames) == S
-        languages = languages or [None] * S
+        assert len(frames) == self.S
+        languages = list(languages) if languages else [None] * self.S
+        boxes = np.asarray(boxes, np.float32)
+        if self.S_pad != self.S:  # mesh padding: replay the last real stream
+            pad = self.S_pad - self.S
+            frames = list(frames) + [frames[-1]] * pad
+            boxes = np.concatenate([boxes, np.repeat(boxes[-1:], pad, 0)])
+            languages += [languages[-1]] * pad
+            if modes:
+                modes = list(modes) + [modes[-1]] * pad
+        S = self.S_pad
         ids = np.zeros((S, self.nt), np.int32)
         mask = np.zeros((S, self.nt), np.int32)
         flags = np.zeros((S,), np.int32)
@@ -256,7 +270,7 @@ class BatchTracker:
                     best_template=best_template, best_vis_token=best_vis,
                     best_txt_token=best_txt)
                 packed = jnp.concatenate([new_box, score[:, None]], axis=-1)
-                return new_state, packed
+                return new_state, packed[:self.S]  # drop mesh pad streams
 
             self._raw_fn_cache[hw] = fn
             self._step_cache[hw] = jax.jit(fn)
@@ -285,13 +299,29 @@ class BatchTracker:
             self._many_cache[hw] = jax.jit(many)
         return self._many_cache[hw]
 
+    def _pad_frames(self, frames, axis: int = 0):
+        """Pad the stream axis from S to S_pad by replaying the last frame
+        (mesh-divisibility padding; outputs are sliced back inside the jitted
+        step)."""
+        pad = self.S_pad - self.S
+        if not pad:
+            return frames
+        last = jnp.take(frames, jnp.array([frames.shape[axis] - 1]), axis=axis)
+        return jnp.concatenate(
+            [frames, jnp.repeat(last, pad, axis=axis)], axis=axis)
+
     def set_active(self, active: np.ndarray):
-        self.state = self.state._replace(active=jnp.asarray(active, bool))
+        active = np.asarray(active, bool)
+        if self.S_pad != self.S:  # pad streams stay frozen
+            active = np.concatenate(
+                [active, np.zeros(self.S_pad - self.S, bool)])
+        self.state = self.state._replace(active=jnp.asarray(active))
 
     def step(self, frames) -> np.ndarray:
         """frames: (S, H, W, 3) or list of S frames. Returns (S, 5) boxes+scores."""
         if isinstance(frames, (list, tuple)):
             frames = jnp.stack([jnp.asarray(f) for f in frames])
+        frames = self._pad_frames(frames)
         if self.mesh is not None:
             frames = jax.device_put(frames, self._stream(frames.ndim))
         hw = (int(frames.shape[1]), int(frames.shape[2]))
@@ -303,6 +333,7 @@ class BatchTracker:
     def step_async(self, frames):
         if isinstance(frames, (list, tuple)):
             frames = jnp.stack([jnp.asarray(f) for f in frames])
+        frames = self._pad_frames(frames)
         if self.mesh is not None:
             frames = jax.device_put(frames, self._stream(frames.ndim))
         hw = (int(frames.shape[1]), int(frames.shape[2]))
@@ -318,6 +349,7 @@ class BatchTracker:
             frames_t = jnp.stack([
                 f if isinstance(f, jnp.ndarray) else
                 jnp.stack([jnp.asarray(x) for x in f]) for f in frames_t])
+        frames_t = self._pad_frames(frames_t, axis=1)
         if self.mesh is not None:
             frames_t = jax.device_put(
                 frames_t, jax.sharding.NamedSharding(
