@@ -122,6 +122,24 @@ def test_convert_uvltrack_full(variables):
     assert "box_head.prompter.q.weight" in unused
 
 
+def test_convert_uvltrack_strict_raises_on_missing_keys(variables):
+    """A truncated/wrong-config checkpoint must fail loudly (reference
+    strict load_state_dict), not track with randomly initialized leaves."""
+    import pytest
+
+    params = variables["params"]
+    bstats = variables["batch_stats"]
+    st = _reference_style_state(params, bstats)
+    del st["backbone.vit.blocks.0.attn.qkv.weight"]
+    del st["box_head.conv_bbox.2.1.running_mean"]
+    with pytest.raises(ValueError, match="missing 2 expected keys"):
+        convert_uvltrack(st, params, bstats)
+    # strict=False loads the matching subset (partial-load escape hatch)
+    p, b, _ = convert_uvltrack(st, params, bstats, strict=False)
+    assert np.allclose(p["backbone"]["block_0"]["qkv"]["kernel"],
+                       params["backbone"]["block_0"]["qkv"]["kernel"])
+
+
 def test_convert_mae_and_bert_subsets(variables):
     params = variables["params"]
     rng = np.random.default_rng(1)

@@ -89,3 +89,24 @@ def test_nl_mode_grounding_init(tracker):
     assert len(box) == 4 and all(np.isfinite(box))
     assert int(tracker.flag[0]) == 2  # after grounding, tracking runs NLBBOX-style
     tracker.cfg.TEST.MODE = "BBOX"
+
+
+def test_track_many_mixed_resolution_keeps_frame_alignment(tracker):
+    """A mid-chunk resolution change must split the chunk at the mismatch,
+    not filter it out (a filter skipped the odd frame and re-tracked frames
+    after it, silently misaligning every later box with its frame)."""
+    rng = np.random.default_rng(11)
+    first = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(3)]
+    frames.insert(1, rng.integers(0, 255, size=(96, 120, 3)).astype(np.uint8))
+
+    tracker.initialize(first, {"init_bbox": [30.0, 20.0, 20.0, 24.0]})
+    many = tracker.track_many(frames, chunk=4)
+
+    tracker.initialize(first, {"init_bbox": [30.0, 20.0, 20.0, 24.0]})
+    seq = np.stack([np.asarray(tracker.track_async(f), np.float64)
+                    for f in frames])
+
+    assert many.shape == (4, 5)
+    np.testing.assert_allclose(many, seq, rtol=1e-5, atol=1e-4)

@@ -71,6 +71,11 @@ def test_param_labels_and_frozen_pos(setup):
     assert labels["backbone"]["pos_embed_x"] == "frozen"
     assert labels["backbone"]["block_0"]["qkv"]["kernel"] == "backbone"
     assert labels["head"]["conv_cls"]["stage_0"]["conv"]["kernel"] == "head"
+    # MODEL.LEARNABLE_POSITION=True trains the pos embeds (reference
+    # requires_grad=learnable_pos, mae_vit.py:120-121)
+    learnable = param_labels(variables["params"], learnable_pos=True)
+    assert learnable["backbone"]["pos_embed_z"] == "backbone"
+    assert learnable["backbone"]["pos_embed_x"] == "backbone"
 
 
 def test_lr_schedules():

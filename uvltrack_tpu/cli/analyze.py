@@ -54,12 +54,12 @@ def main(argv=None):
 
     from ..config import load_cfg
     from ..eval.datasets import get_dataset
-    from ..eval.environment import env_settings
+    from ..eval.environment import env_settings, experiment_cfg_path
     from ..eval.metrics import evaluate_results_dir
 
     settings = env_settings()
-    cfg = load_cfg(os.path.join(settings.repo_dir, "experiments", args.tracker_name,
-                                f"{args.tracker_param}.yaml"))
+    cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
+                                       args.tracker_param))
     mode = args.mode or cfg.TEST.MODE
     epoch = args.epoch or cfg.TEST.EPOCH
     report = f"{args.dataset_name}_{mode}_{epoch:04d}"

@@ -23,12 +23,12 @@ def main(argv=None):
     import cv2
 
     from ..config import load_cfg
-    from ..eval.environment import env_settings
+    from ..eval.environment import env_settings, experiment_cfg_path
     from .test import build_tracker
 
     settings = env_settings()
-    cfg = load_cfg(os.path.join(settings.repo_dir, "experiments", args.tracker_name,
-                                f"{args.tracker_param}.yaml"))
+    cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
+                                       args.tracker_param))
     if args.init_bbox and args.language:
         cfg.TEST.MODE = "NLBBOX"
     elif args.language:

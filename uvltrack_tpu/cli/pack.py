@@ -19,12 +19,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from ..config import load_cfg
-    from ..eval.environment import env_settings
+    from ..eval.environment import env_settings, experiment_cfg_path
     from ..eval.packagers import transform_got10k, transform_trackingnet
 
     settings = env_settings()
-    cfg = load_cfg(os.path.join(settings.repo_dir, "experiments",
-                                args.tracker_name, f"{args.tracker_param}.yaml"))
+    cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
+                                       args.tracker_param))
     dataset = args.dataset_name or ("got10k_test" if args.benchmark == "got10k"
                                     else "trackingnet")
     mode = args.mode or cfg.TEST.MODE

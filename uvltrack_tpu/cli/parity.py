@@ -36,13 +36,13 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..config import load_cfg
-    from ..eval.environment import env_settings
+    from ..eval.environment import env_settings, experiment_cfg_path
     from ..models.uvltrack import UVLTrack, build_model, init_model
     from .test import build_tracker
 
     settings = env_settings()
-    cfg = load_cfg(os.path.join(settings.repo_dir, "experiments",
-                                args.tracker_name, f"{args.config}.yaml"))
+    cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
+                                       args.config))
     cfg.TPU.COMPUTE_DTYPE = "float32"  # parity dumps in full precision
     tracker = build_tracker(cfg, args.checkpoint)
     model, variables = tracker.jt.model, tracker.jt.variables

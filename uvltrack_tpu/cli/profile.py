@@ -38,11 +38,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..config import load_cfg
-    from ..eval.environment import env_settings
+    from ..eval.environment import env_settings, experiment_cfg_path
     from ..models.uvltrack import UVLTrack, build_model, init_model
     settings = env_settings()
-    cfg = load_cfg(os.path.join(settings.repo_dir, "experiments", args.script,
-                                f"{args.config}.yaml"))
+    cfg = load_cfg(experiment_cfg_path(settings, args.script, args.config))
     # Pallas is the cfg default on TPU; --xla forces the einsum backend
     if args.pallas:
         cfg.TPU.USE_PALLAS_ATTENTION = True

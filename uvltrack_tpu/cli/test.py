@@ -42,9 +42,18 @@ def build_tracker(cfg, checkpoint: str | None):
             variables = {"params": state["params"],
                          "batch_stats": state.get("batch_stats", {})}
     tok = None
-    vocab = cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH
+    from ..eval.environment import env_settings, resolve_path
+
+    # resolve the (default-relative) vocab path against repo/pretrained
+    # dirs — a bare CWD-relative exists() check silently dropped the
+    # tokenizer, tracking NL/NLBBOX sequences with empty text
+    vocab = resolve_path(env_settings(),
+                         cfg.MODEL.BACKBONE.LANGUAGE.VOCAB_PATH)
     if vocab and os.path.exists(vocab):
         tok = BertTokenizer(vocab)
+    elif cfg.TEST.MODE in ("NL", "NLBBOX"):
+        print(f"WARNING: vocab not found at {vocab!r} — {cfg.TEST.MODE} "
+              "mode will run with empty text")
     return Tracker(cfg, model, variables, tokenizer=tok)
 
 
@@ -70,14 +79,13 @@ def main(argv=None):
 
     from ..config import load_cfg
     from ..eval.datasets import get_dataset
-    from ..eval.environment import env_settings
+    from ..eval.environment import env_settings, experiment_cfg_path
     from ..eval.metrics import evaluate_results_dir
     from ..eval.running import run_dataset
 
     settings = env_settings()
-    yaml_path = os.path.join(settings.repo_dir, "experiments", args.tracker_name,
-                             f"{args.tracker_param}.yaml")
-    cfg = load_cfg(yaml_path)
+    cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
+                                       args.tracker_param))
 
     if args.test_checkpoint is None:
         # default checkpoint discovery (parity: lib/test/parameter/uvltrack.py's
@@ -100,8 +108,13 @@ def main(argv=None):
         dataset = type(dataset)([s for s in dataset if s.name == args.sequence])
 
     report = f"{args.dataset_name}_{cfg.TEST.MODE}_{cfg.TEST.EPOCH:04d}"
+    # --runid N writes under <param>_NNN (reference run_id convention,
+    # lib/test/evaluation/tracker.py results_dir) — analyze --run_ids
+    # reads these sibling dirs back for multi-run merging
+    param_dir = (args.tracker_param if args.runid is None
+                 else f"{args.tracker_param}_{args.runid:03d}")
     results_dir = os.path.join(settings.results_path, args.tracker_name,
-                               args.tracker_param, report)
+                               param_dir, report)
     if args.streams > 1:
         from ..eval.running_batched import run_dataset_batched
         from ..track.batch import BatchTracker

@@ -86,8 +86,11 @@ def main(argv=None):
     else:
         from ..data.loader import build_train_loader, build_val_loaders
 
-        train_loader = build_train_loader(cfg, global_batch)
-        val_loaders = build_val_loaders(cfg, global_batch)
+        # forward --seed so data sampling varies across seeds too (val keeps
+        # a fixed offset stream so runs stay comparable epoch-to-epoch)
+        train_loader = build_train_loader(cfg, global_batch, seed=args.seed)
+        val_loaders = build_val_loaders(cfg, global_batch,
+                                        seed=args.seed + 1_000_003)
         steps_per_epoch = len(train_loader)
 
     tx = build_optimizer(cfg, variables["params"], steps_per_epoch)

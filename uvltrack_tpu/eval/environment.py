@@ -101,6 +101,23 @@ def experiment_cfg_path(settings: EnvSettings, script: str, config: str) -> str:
                         f"{config}.yaml")
 
 
+def resolve_path(settings: EnvSettings, p: str) -> str:
+    """Resolve a config-relative path (e.g. the default
+    'pretrained/bert/...vocab.txt') against repo_dir then pretrained_path —
+    bare os.path.exists would silently depend on the CWD. Returns the first
+    existing candidate, else the repo_dir-joined path (so error messages
+    name a sensible location)."""
+    if not p:
+        return ""
+    if os.path.isabs(p):
+        return p
+    for base in (settings.repo_dir, settings.pretrained_path):
+        cand = os.path.join(base, p)
+        if os.path.exists(cand):
+            return cand
+    return os.path.join(settings.repo_dir, p)
+
+
 def train_checkpoint_dir(settings: EnvSettings, script: str, config: str) -> str:
     """<repo>/checkpoints/train/<script>/<config> — where cli/train saves and
     cli/test --test_checkpoint-less runs and export_torch look."""

@@ -23,8 +23,7 @@ from .running import dispatching_loader, save_results
 
 
 def _resolution(seq: Sequence, image_loader) -> tuple:
-    img = image_loader(seq.frames[0])
-    return img.shape[:2], img
+    return image_loader(seq.frames[0]).shape[:2]
 
 
 def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
@@ -42,13 +41,12 @@ def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
     if verbose and skipped:
         print(f"skipping {skipped} sequences with existing results")
 
-    # bucket by resolution of the first frame
+    # bucket by resolution of the first frame; frames are re-decoded
+    # per-group (one extra ~5ms decode each) rather than held for the whole
+    # dataset — 700 decoded 720p first frames is ~2GB of host RAM
     buckets = defaultdict(list)
-    first_frames = {}
     for s in pending:
-        hw, img0 = _resolution(s, load)
-        buckets[hw].append(s)
-        first_frames[s.name] = img0
+        buckets[_resolution(s, load)].append(s)
 
     total_frames, total_time, done = 0, 0.0, 0
     for hw, seqs in buckets.items():
@@ -57,7 +55,7 @@ def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
             S = len(group)
             bt = batch_tracker_factory(S)
             t_start = time.time()
-            frames0 = [first_frames[s.name] for s in group]
+            frames0 = [load(s.frames[0]) for s in group]
             boxes0 = np.stack([np.asarray(s.ground_truth_rect[0], np.float32)
                                for s in group])
             langs = [s.language for s in group]
@@ -71,8 +69,7 @@ def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
                 active = np.array([frame_idx < len(s.frames) for s in group])
                 bt.set_active(active)
                 batch = np.stack([
-                    load(s.frames[frame_idx]) if active[i]
-                    else first_frames[s.name]
+                    load(s.frames[frame_idx]) if active[i] else frames0[i]
                     for i, s in enumerate(group)])
                 packed = bt.step(batch)
                 for i in range(S):

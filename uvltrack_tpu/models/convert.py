@@ -140,8 +140,14 @@ def _tower_bn_stats(src: str, dst_tower: str):
 
 
 def convert_uvltrack(state: Dict[str, np.ndarray], params: dict,
-                     batch_stats: dict) -> Tuple[dict, dict, List[str]]:
-    """Full UVLTrack 'net' checkpoint -> (params, batch_stats, unused_keys)."""
+                     batch_stats: dict,
+                     strict: bool = True) -> Tuple[dict, dict, List[str]]:
+    """Full UVLTrack 'net' checkpoint -> (params, batch_stats, unused_keys).
+
+    strict=True raises when an expected source key is absent — matching the
+    reference's strict load_state_dict. Without it a truncated or
+    wrong-config checkpoint would leave destination leaves at RANDOM INIT
+    and track with garbage weights, silently."""
     # normalize old-BERT gamma/beta names
     state = {re.sub(r"\.gamma$", ".weight", re.sub(r"\.beta$", ".bias", k)): v
              for k, v in state.items()}
@@ -151,6 +157,7 @@ def convert_uvltrack(state: Dict[str, np.ndarray], params: dict,
 
     # the reference prefixes everything with 'backbone.' / 'box_head.'
     used = set()
+    missing = []
     for src, dst, tf in rules:
         for prefix in ("backbone.", ""):
             key = (prefix + src) if src.startswith(("vit.", "bert.", "logit_scale")) else src
@@ -159,10 +166,19 @@ def convert_uvltrack(state: Dict[str, np.ndarray], params: dict,
                 _set(params, dst, tf(v) if tf else v)
                 used.add(key)
                 break
+        else:
+            missing.append(src)
     for src, dst, tf in bn_rules:
         if src in state:
             _set(batch_stats, dst, state[src])
             used.add(src)
+        else:
+            missing.append(src)
+    if missing and strict:
+        raise ValueError(
+            f"checkpoint is missing {len(missing)} expected keys (model "
+            f"config/depth mismatch or truncated file), e.g. {missing[:5]}; "
+            "pass strict=False to load the matching subset anyway")
 
     unused = [k for k in state if k not in used]
     return params, batch_stats, unused
@@ -231,16 +247,10 @@ def load_pretrained(cfg, variables: dict, settings=None) -> dict:
         from ..eval.environment import env_settings
         settings = env_settings()
 
+    from ..eval.environment import resolve_path
+
     def resolve(p):
-        if not p:
-            return ""
-        if os.path.isabs(p):
-            return p
-        for base in (settings.repo_dir, settings.pretrained_path):
-            cand = os.path.join(base, p)
-            if os.path.exists(cand):
-                return cand
-        return os.path.join(settings.repo_dir, p)
+        return resolve_path(settings, p)
 
     params = variables["params"]
     mae_path = resolve(cfg.MODEL.BACKBONE.PRETRAINED_PATH)

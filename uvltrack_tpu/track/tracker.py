@@ -347,7 +347,14 @@ class Tracker:
         while i < n:
             k = min(chunk, n - i)
             hw = images[i].shape[:2]
-            group = [im for im in images[i:i + k] if im.shape[:2] == hw]
+            # longest same-resolution PREFIX — a filter would skip a
+            # mid-chunk mismatch and re-track frames after it, misaligning
+            # every later box against its frame
+            group = []
+            for im in images[i:i + k]:
+                if im.shape[:2] != hw:
+                    break
+                group.append(im)
             k = len(group)
             if k == chunk:
                 frames = jnp.stack([jnp.asarray(im) for im in group])

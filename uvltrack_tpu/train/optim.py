@@ -22,12 +22,16 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def param_labels(params) -> dict:
-    """Label each leaf: 'backbone' (LR x multiplier), 'head', or 'frozen'."""
+def param_labels(params, learnable_pos: bool = False) -> dict:
+    """Label each leaf: 'backbone' (LR x multiplier), 'head', or 'frozen'.
+
+    learnable_pos mirrors cfg.MODEL.LEARNABLE_POSITION (requires_grad on the
+    reference's pos_embed_z/x, mae_vit.py:120-121): True trains the position
+    embeddings in the backbone group instead of freezing them."""
 
     def label(path, _):
         p = _path_str(path)
-        if "pos_embed_z" in p or "pos_embed_x" in p:
+        if not learnable_pos and ("pos_embed_z" in p or "pos_embed_x" in p):
             return "frozen"
         if p.startswith("backbone"):
             return "backbone"
@@ -96,7 +100,7 @@ def build_optimizer(cfg, params, steps_per_epoch: int = 1):
             optax.scale_by_learning_rate(lambda s: sched(s) * scale),
         )
 
-    labels = param_labels(params)
+    labels = param_labels(params, bool(cfg.MODEL.LEARNABLE_POSITION))
     tx = optax.multi_transform(
         {"backbone": adamw(mult), "head": adamw(1.0),
          "frozen": optax.set_to_zero()},

@@ -56,6 +56,10 @@ class Trainer:
         self.shard_fn = shard_fn or (lambda b: b)
         self.ckpt = CheckpointManager(checkpoint_dir)
         self.log_path = log_path
+        # multihost: exactly one process writes checkpoints/logs — every
+        # host saving to the SAME path on a shared filesystem interleaves
+        # tmp-file writes and corrupts the renamed checkpoint
+        self.is_main = jax.process_index() == 0
         self.epoch = 0
         if log_path:
             os.makedirs(os.path.dirname(log_path), exist_ok=True)
@@ -70,12 +74,16 @@ class Trainer:
 
     # ------------------------------------------------------------------ util
     def _log(self, msg: str):
+        if not self.is_main:
+            return
         print(msg, flush=True)
         if self.log_path:
             with open(self.log_path, "a") as f:
                 f.write(msg + "\n")
 
     def _log_metrics(self, record: dict):
+        if not self.is_main:
+            return
         if self.log_path:
             with open(self.log_path + ".jsonl", "a") as f:
                 f.write(json.dumps(record) + "\n")
@@ -94,17 +102,31 @@ class Trainer:
         t_start = time.time()
         n_frames = 0
         interval = int(self.cfg.TRAIN.PRINT_INTERVAL)
+        # metric device->host conversion is DEFERRED to the print boundary:
+        # float(v) every step blocks the host on that step's scalars, so the
+        # loop would run at step_time + load_time instead of overlapping the
+        # input pipeline with the device (the arrays are tiny; holding
+        # `interval` of them costs nothing)
+        pending = []
+
+        def drain():
+            for metrics, bs in pending:
+                for k, v in metrics.items():
+                    meters[k].update(float(v), bs)
+            pending.clear()
+
         for i, batch in enumerate(self.train_loader, start=1):
             batch = self.shard_fn(batch)
             self.state, metrics = self.train_step(self.state, batch)
             bs = batch["search_images"].shape[0] * batch["search_images"].shape[1]
             n_frames += bs
-            for k, v in metrics.items():
-                meters[k].update(float(v), bs)
+            pending.append((metrics, bs))
             if i % interval == 0:
+                drain()
                 fps = n_frames / (time.time() - t_start)
                 stats = "  ".join(f"{k}: {m.avg:.5f}" for k, m in sorted(meters.items()))
                 self._log(f"[train: {self.epoch}, {i}] FPS: {fps:.1f}  {stats}")
+        drain()
         return {k: m.avg for k, m in meters.items()}
 
     def validate(self) -> dict:
@@ -124,6 +146,18 @@ class Trainer:
             self._log(f"[val {name}: {self.epoch}] {stats}")
         return out
 
+    def _state_for_save(self):
+        """Host copy of the TrainState. Single-host: plain device_get (works
+        for ZeRO-1 shards — all addressable). Multihost: ZeRO-1 moments span
+        non-addressable devices, so gather the global values via
+        process_allgather (a collective — every process must call this, even
+        though only process 0 writes the file)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(self.state)
+        return jax.device_get(self.state)
+
     def train(self, max_epochs: int, load_latest: bool = True,
               fail_safe: bool = True, max_retries: int = 10):
         if load_latest and self.ckpt.has_checkpoint():
@@ -137,8 +171,10 @@ class Trainer:
                 train_stats = self.train_epoch()
                 val_interval = int(self.cfg.TRAIN.VAL_EPOCH_INTERVAL)
                 val_stats = self.validate() if (val_interval > 0 and self.epoch % val_interval == 0) else {}
-                self.ckpt.save(self.epoch, jax.device_get(self.state),
-                               {"train": train_stats, "val": val_stats})
+                host_state = self._state_for_save()
+                if self.is_main:
+                    self.ckpt.save(self.epoch, host_state,
+                                   {"train": train_stats, "val": val_stats})
                 self._log_metrics({"epoch": self.epoch, "train": train_stats,
                                    "val": val_stats, "time": time.time()})
                 retries = 0
