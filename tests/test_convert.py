@@ -140,6 +140,26 @@ def test_convert_uvltrack_strict_raises_on_missing_keys(variables):
                        params["backbone"]["block_0"]["qkv"]["kernel"])
 
 
+def test_convert_refuses_text_proj_models(variables):
+    """text_proj only exists when BERT hidden_size != embed_dim — a pairing
+    the reference cannot run (ViT-L goes with bert-large), so no reference
+    checkpoint carries its weights. Loading/exporting must fail loudly, not
+    leave the projection at random init."""
+    from uvltrack_tpu.models.convert import export_uvltrack
+
+    params = dict(variables["params"])
+    params["backbone"] = dict(params["backbone"])
+    params["backbone"]["text_proj"] = {
+        "kernel": np.zeros((8, 16), np.float32),
+        "bias": np.zeros((16,), np.float32)}
+    bstats = variables["batch_stats"]
+    st = _reference_style_state(variables["params"], bstats)
+    with pytest.raises(ValueError, match="text_proj"):
+        convert_uvltrack(st, params, bstats)
+    with pytest.raises(ValueError, match="text_proj"):
+        export_uvltrack(params, bstats)
+
+
 def test_convert_mae_and_bert_subsets(variables):
     params = variables["params"]
     rng = np.random.default_rng(1)

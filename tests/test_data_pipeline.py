@@ -182,6 +182,42 @@ def test_trident_pro_allows_invisible_dynamic_templates():
     assert hit_invisible
 
 
+def test_causal_mode_accepts_list_max_gap():
+    """trident configs carry a list MAX_SAMPLE_INTERVAL; causal sampling
+    collapses it to the widest entry (like _sample_grounding) instead of
+    TypeError-ing on `gap += 5`."""
+    s = _trident_sampler("causal", max_gap=[5, 40], num_template=1)
+    out = s.sample_track(s.datasets[0])
+    assert out is not None and int(out["flag"]) == 0
+
+
+def test_grounding_test_pins_first_dataset():
+    """The reference pins grounding validation to datasets[0]
+    (sampler.py:504) so __len__'s sequence count and the index->sequence
+    map agree; ratio-weighted picking across datasets would break both."""
+    cfg = small_cfg()
+    proc = TrackProcessing(cfg, rng=np.random.default_rng(1))
+    ds0, ds1 = FakeVideoDataset(n_seq=3), FakeVideoDataset(n_seq=5)
+    calls = {"ds0": 0, "ds1": 0}
+    for name, d in (("ds0", ds0), ("ds1", ds1)):
+        orig = d.get_frames
+
+        def counted(seq_id, frame_ids, anno=None, _n=name, _o=orig):
+            calls[_n] += 1
+            return _o(seq_id, frame_ids, anno)
+
+        d.get_frames = counted
+    s = GroundingAndTrackingSampler(
+        [ds0, ds1], [0.1, 0.9], samples_per_epoch=100, max_gap=10,
+        processing=proc, num_search_frames=1, mode="grounding_test",
+        tokenizer=FakeTok(), max_query_len=12, seed=3)
+    assert len(s) == 3
+    for i in range(6):
+        out = s.sample(i)
+        assert out is not None and int(out["flag"]) == 1
+    assert calls["ds0"] > 0 and calls["ds1"] == 0
+
+
 def test_sample_vl_distinct_path():
     s = _trident_sampler("causal", max_gap=10, num_template=1)
     out = s.sample_vl(s.datasets[0])

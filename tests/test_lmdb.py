@@ -106,6 +106,16 @@ def test_got10k_lmdb_adapter(got10k_env):
     assert np.allclose(fanno["bbox"][1], [8, 9, 20, 25])
 
 
+def test_got10k_lmdb_unknown_split_raises(got10k_env):
+    """A typo'd split must not silently fall back to ALL sequences (the
+    directory-backed Got10k raises the same way) — that is exactly the
+    vottrain/votval contamination the split tables exist to prevent."""
+    from uvltrack_tpu.data.datasets.lmdb_datasets import Got10kLmdb
+
+    with pytest.raises(ValueError, match="unknown GOT-10k LMDB split"):
+        Got10kLmdb(got10k_env, split="votval ")
+
+
 def test_lasot_lmdb_train_and_eval(tmp_path, monkeypatch):
     rng = np.random.default_rng(2)
     names = ["cat-1", "cat-3"]

@@ -111,6 +111,25 @@ def test_process_worker_epochs_draw_distinct_streams():
     assert epochs[0].isdisjoint(epochs[1])
 
 
+class IndexedBrokenSampler(CountingSampler):
+    """Index-aware sampler whose body raises TypeError — must propagate."""
+
+    def __call__(self, index):
+        raise TypeError("bug inside the sampler body")
+
+
+@pytest.mark.parametrize("mode", ["thread", "process"])
+def test_sampler_internal_typeerror_propagates(mode):
+    """Index-awareness is decided by signature inspection, not by catching
+    TypeError at call time — a TypeError raised INSIDE the sampler must
+    surface, never be silently retried without the index (which would
+    double-advance the RNG and drop grounding_test's index->sequence map)."""
+    loader = SamplerLoader(IndexedBrokenSampler(), batch_size=2,
+                           steps_per_epoch=1, num_workers=2, worker_mode=mode)
+    with pytest.raises(TypeError, match="inside the sampler body"):
+        list(loader)
+
+
 def test_per_sample_host_cost_guard():
     """Full TrackProcessing on a synthetic 720p frame stays under a loose
     per-sample budget (catches quadratic/full-frame regressions like the

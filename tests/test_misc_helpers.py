@@ -57,6 +57,26 @@ def test_path_conventions():
         "/r/checkpoints/train/uvltrack/baseline_base"
 
 
+def test_tnl2k_test_path_resolution():
+    """TNL2K_test uses the dedicated env entry when set (reference
+    tnl2k_test_dir, base_functions.py:38); the fallback swaps only a
+    'train' LEAF for 'test' — never substrings elsewhere in the path."""
+    import pytest
+
+    from uvltrack_tpu.data.builders import _tnl2k_test_path
+
+    s = EnvSettings(tnl2k_path="/data/training_sets/tnl2k/train",
+                    tnl2k_test_path="/explicit/test")
+    assert _tnl2k_test_path(s) == "/explicit/test"
+    s = EnvSettings(tnl2k_path="/data/training_sets/tnl2k/train")
+    assert _tnl2k_test_path(s) == "/data/training_sets/tnl2k/test"
+    s = EnvSettings(tnl2k_path="/data/tnl2k/Train/")
+    assert _tnl2k_test_path(s) == "/data/tnl2k/Test"
+    s = EnvSettings(tnl2k_path="/data/tnl2k/videos")
+    with pytest.raises(ValueError, match="tnl2k_test_path"):
+        _tnl2k_test_path(s)
+
+
 def test_dispatching_loader_routes_tuples(tmp_path, monkeypatch):
     import cv2
 

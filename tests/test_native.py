@@ -57,3 +57,17 @@ def test_prefetcher_propagates_errors(jpegs):
     next(it)
     with pytest.raises(IOError):
         next(it)
+
+
+def test_prebuilt_so_without_source_loads(jpegs, monkeypatch):
+    """A deployment shipping only the prebuilt .so (no .cc alongside) must
+    load it, not crash on getmtime(source)."""
+    import uvltrack_tpu.native as native
+
+    if load_library() is None:
+        pytest.skip("native decoder unavailable (no g++/libjpeg)")
+    monkeypatch.setattr(native, "_SRC", native._SRC + ".does-not-exist")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    assert native.load_library() is not None
+    assert native.decode_jpeg(jpegs[0]) is not None

@@ -78,6 +78,26 @@ def test_tnl2k_adapter(tmp_path):
     assert len(frames) == 2
 
 
+def test_tnl2k_short_annotation_files(tmp_path):
+    """full_occlusion/out_of_view rows can be shorter than groundtruth (and
+    than each other) in the wild; visibility must truncate to the shortest,
+    not broadcast-crash."""
+    d = tmp_path / "video_02"
+    (d / "imgs").mkdir(parents=True)
+    n = 4
+    np.savetxt(d / "groundtruth.txt", np.tile([1, 2, 3, 4], (n, 1)),
+               delimiter=",", fmt="%d")
+    (d / "language.txt").write_text("a thing\n")
+    (d / "full_occlusion.txt").write_text("0,0,1,0")
+    (d / "out_of_view.txt").write_text("0,1")  # shorter than occ/bbox
+    for i in range(n):
+        _img(d / "imgs" / f"{i:05d}.jpg")
+
+    ds = Tnl2k(str(tmp_path))
+    info = ds.get_sequence_info(0)
+    assert info["visible"].tolist() == [True, False, True, True]
+
+
 def test_trackingnet_adapter(tmp_path):
     anno = tmp_path / "TRAIN_0" / "anno"
     frames = tmp_path / "TRAIN_0" / "frames" / "seqA"

@@ -34,7 +34,7 @@ def names2datasets(names: List[str]) -> List:
         elif name == "TNL2K":
             out.append(Tnl2k(s.tnl2k_path))
         elif name in ("TNL2K_test",):
-            out.append(Tnl2k(s.tnl2k_path.replace("train", "test")))
+            out.append(Tnl2k(_tnl2k_test_path(s)))
         elif name == "OTB99":
             out.append(Otb99(s.otb99_path, split="train"))
         elif name == "OTB99_test":
@@ -64,6 +64,25 @@ def names2datasets(names: List[str]) -> List:
         else:
             raise ValueError(f"unknown training dataset {name!r}")
     return out
+
+
+def _tnl2k_test_path(s) -> str:
+    """The reference keeps a distinct env entry (tnl2k_test_dir,
+    base_functions.py:38); honor tnl2k_test_path if set, else swap a
+    'train' LEAF component for 'test' (never substrings elsewhere in the
+    path — '/data/training_sets/tnl2k/train' must not become
+    '/data/testing_sets/...')."""
+    import os
+
+    if s.tnl2k_test_path:
+        return s.tnl2k_test_path
+    head, leaf = os.path.split(s.tnl2k_path.rstrip("/"))
+    if leaf.lower() == "train":
+        return os.path.join(head, leaf.replace("train", "test").replace(
+            "Train", "Test"))
+    raise ValueError(
+        "TNL2K_test needs tnl2k_test_path in local_paths.yaml (or a "
+        f"tnl2k_path ending in 'train' to swap); got {s.tnl2k_path!r}")
 
 
 def _lmdb_dataset(name: str, s):

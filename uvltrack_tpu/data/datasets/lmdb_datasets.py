@@ -45,13 +45,17 @@ class Got10kLmdb(BaseVideoDataset):
         super().__init__("got10k_lmdb", root, image_loader)
         all_seqs = decode_str(root, "train/list.txt").split("\n")
         all_seqs = [s.strip() for s in all_seqs if s.strip()]
-        list_file = {
+        splits = {
             "vottrain": "got10k_vot_train_split.txt",
             "votval": "got10k_vot_val_split.txt",
             "ltrtrain": "got10k_train_split.txt",
             "ltrval": "got10k_val_split.txt",
             "train": None, "train_full": "got10k_train_full_split.txt",
-        }.get(split)
+        }
+        if split not in splits:
+            raise ValueError(f"unknown GOT-10k LMDB split {split!r}; "
+                             f"expected one of {sorted(splits)}")
+        list_file = splits[split]
         if list_file:
             with open(_specs_file(root, list_file)) as f:
                 ids = [int(l) for l in f if l.strip()]

@@ -281,7 +281,7 @@ class Tnl2k(BaseVideoDataset):
         if os.path.exists(occ_f) and os.path.exists(oov_f):
             occ = _read_int_line(occ_f)
             oov = _read_int_line(oov_f)
-            n = min(len(occ), len(bbox))
+            n = min(len(occ), len(oov), len(bbox))
             visible[:n] = (occ[:n] == 0) & (oov[:n] == 0) & valid[:n]
         return {"bbox": bbox, "valid": valid, "visible": visible}
 

@@ -29,11 +29,28 @@ def collate_frame_major(samples: list) -> dict:
     return batch
 
 
+def _accepts_index(sampler) -> bool:
+    """True if the sampler callable binds one positional argument.
+
+    Decided once by signature inspection: a call-time except-TypeError
+    fallback would also swallow TypeErrors raised *inside* the sampler,
+    silently re-drawing without the index (double-advancing the RNG stream
+    and dropping grounding_test's index->sequence mapping)."""
+    import inspect
+
+    try:
+        inspect.signature(sampler).bind(0)
+        return True
+    except TypeError:
+        return False
+
+
 # ---- process-pool worker plumbing (loader.py:124-194 uses NUM_WORKER torch
 # processes; this is the jax-side equivalent). The sampler travels to each
 # worker once (initializer) and every worker reseeds itself with a distinct
 # index so forked RNG state never produces duplicate streams.
 _WORKER_SAMPLER = None
+_WORKER_TAKES_INDEX = False
 
 
 def _process_worker_init(sampler, counter, base):
@@ -41,20 +58,20 @@ def _process_worker_init(sampler, counter, base):
     built every epoch and workers fork from a parent whose sampler RNG
     never advances (all draws happen in workers), so reseeding with a bare
     0..N-1 id would replay the identical sample stream every epoch."""
-    global _WORKER_SAMPLER
+    global _WORKER_SAMPLER, _WORKER_TAKES_INDEX
     with counter.get_lock():
         wid = base + counter.value
         counter.value += 1
     if hasattr(sampler, "reseed"):
         sampler.reseed(wid)
     _WORKER_SAMPLER = sampler
+    _WORKER_TAKES_INDEX = _accepts_index(sampler)
 
 
 def _process_worker_draw(index=None):
-    try:
+    if _WORKER_TAKES_INDEX:
         return _WORKER_SAMPLER(index)
-    except TypeError:  # index-less sampler callable
-        return _WORKER_SAMPLER()
+    return _WORKER_SAMPLER()
 
 
 class SamplerLoader:
@@ -98,10 +115,10 @@ class SamplerLoader:
                 initargs=(self.sampler, counter,
                           self._epoch * self.num_workers)), _process_worker_draw
 
-        def draw(index=None):
-            try:
-                return self.sampler(index)
-            except TypeError:  # index-less sampler callable
+        if _accepts_index(self.sampler):
+            draw = self.sampler
+        else:
+            def draw(index=None):
                 return self.sampler()
 
         return ThreadPoolExecutor(self.num_workers), draw

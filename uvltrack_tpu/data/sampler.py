@@ -203,13 +203,17 @@ class GroundingAndTrackingSampler:
 
     def _causal_frames(self, visible: np.ndarray):
         """Template first, then search frames after it within a growing gap."""
-        gap = self.max_gap
+        # list max_gap (trident configs) collapses to its widest entry here,
+        # like _sample_grounding — causal mode has a single gap window
+        base_gap = self.max_gap if not isinstance(self.max_gap, (list, tuple)) \
+            else max(self.max_gap)
+        gap = base_gap
         while True:
             base = self._sample_visible_ids(
                 visible, 1, 0, len(visible) - self.num_search)
             if base is None:
                 gap += 5
-                if gap > 10 * self.max_gap:
+                if gap > 10 * base_gap:
                     return None
                 continue
             tid = base[0]
@@ -217,7 +221,7 @@ class GroundingAndTrackingSampler:
                                             tid + 1, tid + gap)
             if sids is None:
                 gap += 5
-                if gap > 10 * self.max_gap:
+                if gap > 10 * base_gap:
                     # fall back: reuse the template frame
                     return [tid], [tid] * self.num_search
                 continue
@@ -230,15 +234,17 @@ class GroundingAndTrackingSampler:
         semantics); every other task draws randomly like the reference."""
         while True:
             task = self._roll_task()
-            dataset = self._pick_dataset(task)
             if self.mode == "grounding_test":
-                out = self._sample_grounding_test(dataset, index)
+                # the reference pins grounding validation to datasets[0]
+                # (sampler.py:504), matching __len__'s sequence count —
+                # ratio-weighted picking would break the index->sequence map
+                out = self._sample_grounding_test(self.datasets[0], index)
             elif task == 1:
-                out = self._sample_grounding(dataset)
+                out = self._sample_grounding(self._pick_dataset(task))
             elif task == 2:
-                out = self.sample_vl(dataset)
+                out = self.sample_vl(self._pick_dataset(task))
             else:
-                out = self.sample_track(dataset)
+                out = self.sample_track(self._pick_dataset(task))
             if out is not None:
                 return out
 

@@ -15,7 +15,8 @@ import yaml
 
 _PATH_KEYS = [
     "results_path", "result_plot_path", "checkpoints_path", "network_path",
-    "otb99_path", "tnl2k_path", "lasot_path", "lasotext_path", "got10k_path",
+    "otb99_path", "tnl2k_path", "tnl2k_test_path", "lasot_path",
+    "lasotext_path", "got10k_path",
     "trackingnet_path", "nfs_path", "uav_path", "itb_path", "avist_path",
     "tc128_path", "otb_path", "pretrained_path", "imagenet_path",
     "lasot_lmdb_path", "got10k_lmdb_path", "trackingnet_lmdb_path",
@@ -33,6 +34,7 @@ class EnvSettings:
     network_path: str = ""
     otb99_path: str = ""
     tnl2k_path: str = ""
+    tnl2k_test_path: str = ""
     lasot_path: str = ""
     lasotext_path: str = ""
     got10k_path: str = ""

@@ -153,6 +153,17 @@ def convert_uvltrack(state: Dict[str, np.ndarray], params: dict,
              for k, v in state.items()}
     params = copy.deepcopy(jax_tree_to_py(params))
     batch_stats = copy.deepcopy(jax_tree_to_py(batch_stats))
+    if "text_proj" in params.get("backbone", {}):
+        # text_proj only exists when bert.hidden_size != embed_dim — a
+        # combination the reference cannot run (it pairs ViT-L with
+        # bert-large), so no reference checkpoint carries weights for it.
+        # Loading one into such a model would leave text_proj at random
+        # init and track with a garbage text projection, silently.
+        raise ValueError(
+            "model has backbone.text_proj (BERT hidden_size != embed_dim); "
+            "reference checkpoints never contain these weights — match the "
+            "BERT variant to the ViT width (base/768, large/1024) as the "
+            "reference does")
     rules, bn_rules = _uvltrack_rules(params)
 
     # the reference prefixes everything with 'backbone.' / 'box_head.'
@@ -376,6 +387,12 @@ def export_uvltrack(params: dict, batch_stats: dict,
 
     params = jax_tree_to_py(params)
     batch_stats = jax_tree_to_py(batch_stats)
+    if "text_proj" in params.get("backbone", {}):
+        raise ValueError(
+            "model has backbone.text_proj (BERT hidden_size != embed_dim); "
+            "the reference has no such layer, so the exported checkpoint "
+            "could not be loaded by it — match the BERT variant to the ViT "
+            "width instead")
     rules, bn_rules = _uvltrack_rules(params)
     state: Dict[str, np.ndarray] = {}
     for src, dst, tf in rules:

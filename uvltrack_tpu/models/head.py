@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.geometry import rotate_half_batch
 from .mufe import l2_normalize, select_by_flag
 
 NEG_INF = -1e20
@@ -241,8 +242,9 @@ class MABH(nn.Module):
                 jnp.concatenate([out_dict["vis_token"], out_dict["txt_token"],
                                  (out_dict["vis_token"] + out_dict["txt_token"]) / 2],
                                 axis=1), flag)
-            half = b // 2
-            context = jnp.concatenate([search[half:], search[:half]], axis=0)
+            # same rotation the actor applies to context_mask — keep the
+            # pair in one helper so the convention can't drift
+            context = rotate_half_batch(search)
             prompt = self.prompter(out_dict["template"], out_dict["template_mask"],
                                    context, out_dict["context_mask"], token, flag)
             cont_score = self.cont_score_from_prompt(search, prompt, test=False)

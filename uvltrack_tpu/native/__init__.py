@@ -12,7 +12,6 @@ import ctypes
 import os
 import subprocess
 import threading
-from queue import Queue
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -40,7 +39,11 @@ def load_library():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    # a shipped prebuilt .so without its source is fine — only rebuild when
+    # the source is present and newer
+    if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
         if not _build():
             return None
     try:
@@ -101,7 +104,7 @@ class SequencePrefetcher:
                  loader=imread_rgb):
         self.paths = paths
         self.loader = loader
-        self.q: Queue = Queue(maxsize=depth)
+        self.depth = depth  # max frames decoded ahead of the consumer
         self.threads = []
         self._idx = 0
         self._lock = threading.Lock()
@@ -123,7 +126,7 @@ class SequencePrefetcher:
             # bound memory: wait until the consumer is close
             while True:
                 with self._cv:
-                    if i - self._next_emit < self.q.maxsize:
+                    if i - self._next_emit < self.depth:
                         break
                     self._cv.wait(timeout=0.2)
             try:
