@@ -21,6 +21,17 @@ def test_strict_merge_rejects_unknown_key():
         c.merge_from_dict({"MODEL": {"NO_SUCH_KEY": 1}})
 
 
+def test_clone_deep_copies_lists():
+    """In-place list tweaks on a clone (MILESTONES, FUSION_LAYER,
+    DATASETS_NAME) must not corrupt the base config of a sibling run."""
+    c = default_cfg()
+    c2 = c.clone()
+    c2.TRAIN.SCHEDULER.MILESTONES.append(999)
+    c2.MODEL.BACKBONE.FUSION_LAYER[0] = -1
+    assert 999 not in c.TRAIN.SCHEDULER.MILESTONES
+    assert c.MODEL.BACKBONE.FUSION_LAYER[0] != -1
+
+
 def test_load_baseline_base_yaml():
     c = load_cfg(os.path.join(REPO, "experiments/uvltrack/baseline_base.yaml"))
     assert c.MODEL.HIDDEN_DIM == 768

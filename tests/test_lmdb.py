@@ -55,6 +55,14 @@ def test_empty_env(tmp_path):
     assert list(r.keys()) == []
 
 
+def test_write_lmdb_rejects_duplicate_keys(tmp_path):
+    """The writer's 'unique keys' contract is enforced, not just documented —
+    a duplicate would produce an environment whose md_entries disagrees with
+    its key count and whose get() resolution differs from real LMDB."""
+    with pytest.raises(ValueError, match="duplicate key"):
+        write_lmdb(str(tmp_path / "dup"), [("k", b"1"), ("k", b"2")])
+
+
 def test_bad_magic_raises(tmp_path):
     env = tmp_path / "bad"
     env.mkdir()

@@ -236,7 +236,7 @@ def test_ln_qkv_attention_custom_vjp_gradients():
     )
 
     def loss_kernel(*a):
-        return (pa.ln_qkv_attention_trainable(h, *a) ** 2).sum()
+        return (pa.ln_qkv_attention_trainable(h, 1e-6, *a) ** 2).sum()
 
     def loss_xla(*a):
         return (pa._xla_ln_qkv_attention(*a, heads=h, clamp=True) ** 2).sum()
@@ -304,7 +304,7 @@ def test_ln_mlp_custom_vjp_gradients():
     import jax
 
     def loss_kernel(*a):
-        return (pa.ln_mlp_trainable(*a) ** 2).sum()
+        return (pa.ln_mlp_trainable(1e-6, *a) ** 2).sum()
 
     def loss_xla(*a):
         return (pa._xla_ln_mlp(*a) ** 2).sum()
@@ -318,3 +318,92 @@ def test_ln_mlp_custom_vjp_gradients():
     for gk, gx in zip(g_kernel, g_xla):
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
                                    atol=5e-4, rtol=2e-3)
+
+
+def test_fused_prefix_zero_reverts_to_qkv_kernel(monkeypatch):
+    """UVLTRACK_FUSED_PREFIX=0 on the pallas backend must revert to step 3
+    (LN + qkv Dense in XLA, attention still in the qkv-native kernel) so the
+    knob A/Bs ONLY the prefix fusion — not silently disable the whole pallas
+    backend. And the eps argument must thread into every path."""
+    import jax
+
+    from uvltrack_tpu.ops import attention as att
+    from uvltrack_tpu.ops import pallas_attention as pa
+
+    b, n, h, c = 1, 160, 2, 16  # n >= min_seq_len so the gates are live
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(c, 3 * c)) / 4.0, jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(3 * c,)) * 0.02, jnp.float32)
+    bias = jnp.zeros((b, 1, 1, n), jnp.float32)
+
+    calls = {"qkv_kernel": 0, "fused": 0}
+    real_qkv = pa._qkv_attention_trainable
+    real_fused = pa.ln_qkv_attention_trainable
+
+    def spy_qkv(heads, qkv, kb):
+        calls["qkv_kernel"] += 1
+        return real_qkv(heads, qkv, kb)
+
+    def spy_fused(heads, eps, *a):
+        calls["fused"] += 1
+        return real_fused(heads, eps, *a)
+
+    monkeypatch.setattr(pa, "_qkv_attention_trainable", spy_qkv)
+    monkeypatch.setattr(pa, "ln_qkv_attention_trainable", spy_fused)
+    monkeypatch.setattr(pa, "_on_tpu", lambda: True)
+    monkeypatch.setattr(pa, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("UVLTRACK_FUSED_PREFIX", "0")
+    att.set_backend("pallas")
+    try:
+        out = att.attention_ln_qkv_core(x, g, be, w, wb, h, bias)
+    finally:
+        att.set_backend("xla")
+    assert calls["qkv_kernel"] == 1 and calls["fused"] == 0
+    ref = pa._xla_ln_qkv_attention(x, g, be, w, wb,
+                                   jnp.zeros((b, n), jnp.float32), h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+    # FUSED_PREFIX=1 takes the fused kernel, with eps threaded through
+    monkeypatch.setenv("UVLTRACK_FUSED_PREFIX", "1")
+    att.set_backend("pallas")
+    try:
+        out2 = att.attention_ln_qkv_core(x, g, be, w, wb, h, bias, eps=1e-2)
+    finally:
+        att.set_backend("xla")
+    assert calls["fused"] == 1
+    ref2 = pa._xla_ln_qkv_attention(x, g, be, w, wb,
+                                    jnp.zeros((b, n), jnp.float32), h,
+                                    eps=1e-2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=2e-4)
+    # a non-default eps visibly changes the output (the old code dropped it)
+    assert not np.allclose(np.asarray(out2), np.asarray(out), atol=1e-4)
+
+
+def test_generic_bias_path_matches_key_padding_numerics():
+    """A non-key-padding bias shape must go through the SAME shared LN+qkv
+    math (fp32-accumulated matmul, fp32 bias add) as the key-padding path —
+    identical inputs may not produce different activations purely because
+    the bias was reshaped."""
+    from uvltrack_tpu.ops import attention as att
+    from uvltrack_tpu.ops import pallas_attention as pa
+
+    b, n, h, c = 1, 48, 2, 16
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(c, 3 * c)) / 4.0, jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(3 * c,)) * 0.02, jnp.float32)
+    kb_row = jnp.zeros((n,), jnp.float32).at[-5:].set(-1e10)
+    key_pad = jnp.tile(kb_row[None, None, None, :], (b, 1, 1, 1))
+    generic = jnp.tile(kb_row[None, None, None, :], (b, 1, n, 1))  # (B,1,N,N)
+
+    out_kp = att.attention_ln_qkv_core(x, g, be, w, wb, h, key_pad)
+    out_gen = att.attention_ln_qkv_core(x, g, be, w, wb, h, generic)
+    np.testing.assert_allclose(np.asarray(out_gen), np.asarray(out_kp),
+                               atol=2e-5, rtol=2e-4)

@@ -106,6 +106,26 @@ def test_zero_area_roi_is_zero():
     assert np.allclose(out, 0.0)
 
 
+def test_doubly_inverted_roi_is_zero_like_cuda():
+    """x2<x1 AND y2<y1: the CUDA kernel clamps width/height per axis BEFORE
+    the area product (prroi_pooling_gpu_impl.cu:175-176), so a fully
+    reversed box pools to 0 with zero coordinate gradients — not the
+    average over the reversed box (neg*neg would be a positive area)."""
+    import jax
+
+    feat = jnp.ones((1, 8, 8, 1))
+    rois = jnp.asarray([[0, 5.0, 6.0, 2.0, 3.0]], jnp.float32)  # reversed
+    out = np.asarray(prroi_pool(feat, rois, 2, 2))
+    assert np.allclose(out, 0.0)
+
+    def pooled_sum(coords):
+        r = jnp.concatenate([jnp.zeros((1, 1)), coords[None]], axis=1)
+        return prroi_pool(feat, r, 2, 2).sum()
+
+    g = np.asarray(jax.grad(pooled_sum)(jnp.asarray([5.0, 6.0, 2.0, 3.0])))
+    assert np.allclose(g, 0.0)
+
+
 REF_FIXTURES = (
     "/root/reference/lib/utils/PreciseRoIPooling/tensorflow/tests/"
     "test_binaries/2_2_0.5"

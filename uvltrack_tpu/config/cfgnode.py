@@ -38,7 +38,14 @@ class CfgNode(dict):
     def clone(self) -> "CfgNode":
         out = CfgNode()
         for k, v in self.items():
-            out[k] = v.clone() if isinstance(v, CfgNode) else v
+            if isinstance(v, CfgNode):
+                v = v.clone()
+            elif isinstance(v, list):
+                # list values (MILESTONES, FUSION_LAYER, DATASETS_NAME...)
+                # must not be shared — in-place tweaks on a clone would
+                # corrupt the base config of a sibling run
+                v = list(v)
+            out[k] = v
         return out
 
     def to_dict(self) -> Dict[str, Any]:

@@ -104,15 +104,21 @@ def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
         key_bias = jnp.zeros((b, n), jnp.float32)
     elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
         key_bias = bias[:, 0, 0, :].astype(jnp.float32)
-    if _BACKEND == "pallas":
+    if (_BACKEND == "pallas" and key_bias is not None and pa._HAS_PALLAS
+            and pa._on_tpu() and n >= pa.min_seq_len()):
         import os
 
-        if (key_bias is not None and pa._HAS_PALLAS and pa._on_tpu()
-                and os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1"
-                and n >= int(os.environ.get("UVLTRACK_PALLAS_MIN_N", "128"))):
+        if os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1":
             return pa.ln_qkv_attention_trainable(
-                heads, x, ln_scale, ln_bias,
+                heads, eps, x, ln_scale, ln_bias,
                 w_qkv.astype(compute_dtype), b_qkv, key_bias)
+        # UVLTRACK_FUSED_PREFIX=0 reverts to step 3 (TPU_DESIGN.md): LN +
+        # qkv Dense composed in XLA, attention still in the qkv-native
+        # pallas kernel — so the knob A/Bs ONLY the prefix fusion, not the
+        # whole pallas backend
+        qkv = pa._xla_ln_qkv(x, ln_scale, ln_bias,
+                             w_qkv.astype(compute_dtype), b_qkv, eps=eps)
+        return attention_qkv_core(qkv, heads, bias)
     # XLA fallback (CPU tests / non-TPU runs): the SAME composition the
     # kernel's custom-VJP backward recomputes, so forward, gradient and
     # parity math never drift apart
@@ -120,14 +126,10 @@ def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
         return pa._xla_ln_qkv_attention(
             x, ln_scale, ln_bias, w_qkv.astype(compute_dtype), b_qkv,
             key_bias, heads, eps=eps)
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
-    qkv = (jnp.dot(y.astype(compute_dtype), w_qkv.astype(compute_dtype))
-           + b_qkv.astype(compute_dtype))
+    # generic (non-key-padding) bias: same shared LN+qkv math, attention
+    # handles the arbitrary bias shape
+    qkv = pa._xla_ln_qkv(x, ln_scale, ln_bias, w_qkv.astype(compute_dtype),
+                         b_qkv, eps=eps)
     return attention_qkv_core(qkv, heads, bias)
 
 
@@ -156,10 +158,10 @@ def ln_mlp_core(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
         # cannot; kept as an opt-in experiment (UVLTRACK_FUSED_MLP=1)
         if (pa._HAS_PALLAS and pa._on_tpu()
                 and os.environ.get("UVLTRACK_FUSED_MLP", "0") == "1"
-                and n >= int(os.environ.get("UVLTRACK_PALLAS_MIN_N", "128"))
+                and n >= pa.min_seq_len()
                 and vmem_est < 14 * 1024 * 1024):
             return pa.ln_mlp_trainable(
-                x, ln_scale, ln_bias, w1.astype(compute_dtype),
+                eps, x, ln_scale, ln_bias, w1.astype(compute_dtype),
                 b1, w2.astype(compute_dtype), b2)
     # XLA fallback: the kernel's backward-recompute twin (no math drift)
     return pa._xla_ln_mlp(x, ln_scale, ln_bias, w1.astype(compute_dtype),

@@ -34,6 +34,7 @@ lib/models/backbones/block.py:47-61).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,20 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+_FORCE_INTERPRET = False  # tests flip this to run the kernels off-TPU
+
+
+def min_seq_len() -> int:
+    """Shortest sequence the kernels accept — below it the layout copies
+    around the pallas_call lose end-to-end (measured 841 FPS with the gate
+    at 32 vs the 970-class runs at 128; the 40-token BERT layers stay on
+    XLA). ONE definition consumed by every entry point (classic, qkv-native
+    and the ln-fused prefix in ops/attention.py) so the gate can never
+    desynchronize kernel selection between them. Tunable via
+    UVLTRACK_PALLAS_MIN_N for experiments."""
+    return int(os.environ.get("UVLTRACK_PALLAS_MIN_N", "128"))
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
@@ -82,6 +97,7 @@ def fused_attention(q, k, v, key_bias, interpret: bool = False):
     interpret=True runs the kernel in the Pallas interpreter (any backend) —
     for CPU tests only.
     """
+    interpret = interpret or _FORCE_INTERPRET
     b, h, n, d = q.shape
     key_bias = key_bias[:, None, :]
     spec_qkv = pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
@@ -120,9 +136,6 @@ def _attn_kernel_qkv(qkv_ref, bias_ref, o_ref, *, scale: float, heads: int,
                                 precision=jax.lax.Precision.DEFAULT)
         o = o * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
         o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
-
-
-_FORCE_INTERPRET = False  # tests flip this to run the kernel off-TPU
 
 
 def fused_attention_qkv(qkv, key_bias, heads: int, interpret: bool = False):
@@ -218,11 +231,12 @@ def fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias,
     )(x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias)
 
 
-def _xla_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias,
-                          heads: int, eps: float = 1e-6, clamp: bool = False):
-    """Pure-XLA math of fused_ln_qkv_attention (fast-variance fp32 LN like
-    flax's LayerNorm default); backward recompute target for the custom VJP
-    and the CPU/parity reference."""
+def _xla_ln_qkv(x, ln_scale, ln_bias, w_qkv, b_qkv, eps: float = 1e-6):
+    """Pure-XLA pre-LN LayerNorm + fused qkv projection (fast-variance fp32
+    LN like flax's LayerNorm default, fp32-accumulated matmul + fp32 bias
+    add). THE one copy of this math — shared by the kernel's backward
+    recompute, the CPU/parity reference and ops/attention.py's non-fused
+    paths, so the numerics cannot drift between bias shapes or backends."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -231,31 +245,40 @@ def _xla_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias,
     y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
     qkv = jnp.dot(y.astype(w_qkv.dtype), w_qkv,
                   preferred_element_type=jnp.float32)
-    qkv = (qkv + b_qkv.astype(jnp.float32)).astype(w_qkv.dtype)
+    return (qkv + b_qkv.astype(jnp.float32)).astype(w_qkv.dtype)
+
+
+def _xla_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias,
+                          heads: int, eps: float = 1e-6, clamp: bool = False):
+    """Pure-XLA math of fused_ln_qkv_attention; backward recompute target
+    for the custom VJP and the CPU/parity reference."""
+    qkv = _xla_ln_qkv(x, ln_scale, ln_bias, w_qkv, b_qkv, eps=eps)
     return _xla_qkv_attention(qkv, key_bias, heads, clamp=clamp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def ln_qkv_attention_trainable(heads: int, x, ln_scale, ln_bias, w_qkv,
-                               b_qkv, key_bias):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def ln_qkv_attention_trainable(heads: int, eps: float, x, ln_scale, ln_bias,
+                               w_qkv, b_qkv, key_bias):
     """Kernel forward, XLA-recompute backward (same pattern as
     _qkv_attention_trainable): gradients re-derive the whole LN+qkv+attn
-    chain from the saved inputs with the clamped einsum math."""
+    chain from the saved inputs with the clamped einsum math. eps is
+    nondiff and threads into BOTH the kernel and the recompute."""
     return fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
-                                  key_bias, heads)
+                                  key_bias, heads, eps=eps)
 
 
-def _ln_qkv_attention_fwd(heads, x, ln_scale, ln_bias, w_qkv, b_qkv,
+def _ln_qkv_attention_fwd(heads, eps, x, ln_scale, ln_bias, w_qkv, b_qkv,
                           key_bias):
     out = fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
-                                 key_bias, heads)
+                                 key_bias, heads, eps=eps)
     return out, (x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias)
 
 
-def _ln_qkv_attention_bwd(heads, res, g):
+def _ln_qkv_attention_bwd(heads, eps, res, g):
     x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias = res
     _, vjp = jax.vjp(
-        lambda *a: _xla_ln_qkv_attention(*a, heads=heads, clamp=True),
+        lambda *a: _xla_ln_qkv_attention(*a, heads=heads, eps=eps,
+                                         clamp=True),
         x, ln_scale, ln_bias, w_qkv, b_qkv, key_bias)
     return vjp(g.astype(w_qkv.dtype))
 
@@ -329,21 +352,22 @@ def _xla_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float = 1e-6):
     return (o + b2.astype(jnp.float32)).astype(w2.dtype)
 
 
-@jax.custom_vjp
-def ln_mlp_trainable(x, ln_scale, ln_bias, w1, b1, w2, b2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def ln_mlp_trainable(eps: float, x, ln_scale, ln_bias, w1, b1, w2, b2):
     """Kernel forward, XLA-recompute backward (pattern of
     ln_qkv_attention_trainable): gradients re-derive LN+fc1+gelu+fc2 from
-    the saved inputs — the (N, 4C) hidden tensor is never saved."""
-    return fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    the saved inputs — the (N, 4C) hidden tensor is never saved. eps is
+    nondiff and threads into both the kernel and the recompute."""
+    return fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
 
 
-def _ln_mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
-    out = fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2)
+def _ln_mlp_fwd(eps, x, ln_scale, ln_bias, w1, b1, w2, b2):
+    out = fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
-def _ln_mlp_bwd(res, g):
-    _, vjp = jax.vjp(_xla_ln_mlp, *res)
+def _ln_mlp_bwd(eps, res, g):
+    _, vjp = jax.vjp(lambda *a: _xla_ln_mlp(*a, eps=eps), *res)
     return vjp(g.astype(res[5].dtype))
 
 
@@ -401,9 +425,7 @@ def pallas_attention_qkv(qkv, heads: int, bias=None):
     if not (_HAS_PALLAS and _on_tpu()):
         return None
     b, n, f = qkv.shape
-    # same tunable gate as pallas_attention below (keeps the two entry points
-    # consistent): short sequences lose end-to-end to layout copies
-    if n < int(__import__("os").environ.get("UVLTRACK_PALLAS_MIN_N", "128")):
+    if n < min_seq_len():
         return None
     if bias is None:
         key_bias = jnp.zeros((b, n), jnp.float32)
@@ -423,12 +445,7 @@ def pallas_attention(q, k, v, bias=None):
     if not (_HAS_PALLAS and _on_tpu()):
         return None
     b, h, n, d = q.shape
-    if n < int(__import__("os").environ.get("UVLTRACK_PALLAS_MIN_N", "128")):
-        # short sequences (the 40-token BERT layers): the kernel wins at the
-        # op level (12.9 vs 14.0 us) but loses end-to-end to the layout
-        # copies around the classic (B,H,N,D) path — measured 841 FPS with
-        # the gate at 32 vs the 970-class runs at 128. Tunable for
-        # experiments via UVLTRACK_PALLAS_MIN_N.
+    if n < min_seq_len():  # see min_seq_len for the measured rationale
         return None
     if bias is None:
         key_bias = jnp.zeros((b, n), jnp.float32)

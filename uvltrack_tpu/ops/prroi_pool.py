@@ -47,8 +47,11 @@ def prroi_pool_one(feature: jnp.ndarray, roi_xyxy: jnp.ndarray,
     """feature (H, W, C); roi_xyxy (4,) in input-image coords. -> (ph, pw, C)."""
     h, w = feature.shape[0], feature.shape[1]
     x1, y1, x2, y2 = [roi_xyxy[i] * spatial_scale for i in range(4)]
-    bin_w = (x2 - x1) / pooled_w
-    bin_h = (y2 - y1) / pooled_h
+    # per-axis clamp like the CUDA kernel (prroi_pooling_gpu_impl.cu:175-176):
+    # without it a doubly-inverted roi (x2<x1 AND y2<y1) has positive
+    # bin_w*bin_h and would return a reversed-box average instead of 0
+    bin_w = jnp.maximum(x2 - x1, 0.0) / pooled_w
+    bin_h = jnp.maximum(y2 - y1, 0.0) / pooled_h
     px = jnp.arange(pooled_w, dtype=jnp.float32)
     py = jnp.arange(pooled_h, dtype=jnp.float32)
     a = _axis_coeffs(x1 + px * bin_w, x1 + (px + 1) * bin_w, w)  # (pw, W)

@@ -68,8 +68,18 @@ class Reader:
     def __init__(self, path: str):
         self.path = _data_path(path)
         self._f = open(self.path, "rb")
-        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
-        meta = self._pick_meta()
+        try:
+            self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        except Exception:
+            self._f.close()
+            raise
+        try:
+            meta = self._pick_meta()
+        except Exception:
+            # probing callers (is-this-lmdb? scans) must not leak the
+            # fd/mapping on every non-LMDB candidate
+            self.close()
+            raise
         (self.psize, _flags, self.depth, _b, _l, _o, self.entries,
          self.root) = meta
 
@@ -118,14 +128,16 @@ class Reader:
         for _ in range(self.depth - 1):  # branch levels
             off = self._page(pgno)
             flags, ptrs = self._nodes(off)
-            assert flags & P_BRANCH, f"expected branch page at {pgno}"
+            if not flags & P_BRANCH:  # corrupt/unsupported file: fail loudly
+                raise ValueError(f"{self.path}: expected branch page at {pgno}")
             keys = [self._node_key(off, p) for p in ptrs[1:]]
             idx = bisect_right(keys, key)  # node 0's key is implicit -inf
             lo, hi, nflags, _ks = _NODE.unpack_from(self._mm, off + ptrs[idx])
             pgno = lo | (hi << 16) | (nflags << 32)
         off = self._page(pgno)
         flags, ptrs = self._nodes(off)
-        assert flags & P_LEAF, f"expected leaf page at {pgno}"
+        if not flags & P_LEAF:  # e.g. DUPSORT/LEAF2 features we don't support
+            raise ValueError(f"{self.path}: expected leaf page at {pgno}")
         keys = [self._node_key(off, p) for p in ptrs]
         idx = bisect_right(keys, key) - 1
         if idx < 0 or keys[idx] != key:
@@ -138,7 +150,9 @@ class Reader:
             (ovpgno,) = struct.unpack_from("<Q", self._mm, dbase)
             ovoff = self._page(ovpgno)
             _pg, _pad, ovflags, _pages = _OVHDR.unpack_from(self._mm, ovoff)
-            assert ovflags & P_OVERFLOW, f"expected overflow page at {ovpgno}"
+            if not ovflags & P_OVERFLOW:
+                raise ValueError(
+                    f"{self.path}: expected overflow page at {ovpgno}")
             start = ovoff + PAGEHDRSZ
             return self._mm[start:start + dsize]
         return self._mm[dbase:dbase + dsize]
@@ -231,9 +245,12 @@ def write_lmdb(path: str, items: Iterable[Tuple[bytes, bytes]],
     items = sorted((k.encode() if isinstance(k, str) else k,
                     v.encode() if isinstance(v, str) else v)
                    for k, v in items)
-    for k, _ in items:
+    for i, (k, _) in enumerate(items):
         if not 0 < len(k) < (psize - PAGEHDRSZ) // 4:
             raise ValueError(f"key size {len(k)} out of range")
+        if i and k == items[i - 1][0]:  # sorted -> duplicates are adjacent
+            raise ValueError(f"duplicate key {k!r}: a main-DB environment "
+                             "holds one value per key")
 
     nodemax = (psize - PAGEHDRSZ) // 2 - 2  # conservative mdb me_nodemax
     pages: List[bytes] = []  # data pages, pgno = index + 2
