@@ -60,7 +60,9 @@ def jax_slice(x):
     return leaf.reshape(-1)[:1]
 
 
-def make_tracker(config: str):
+def make_tracker(config: str, build_tracker: bool = True):
+    """build_tracker=False skips the Tracker (and its bf16 variable cast)
+    for callers that construct their own with a tokenizer."""
     import jax
 
     from uvltrack_tpu.config import load_cfg
@@ -84,7 +86,9 @@ def make_tracker(config: str):
         cfg.TPU.USE_PALLAS_ATTENTION = force == "1"
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(0))
-    return cfg, model, variables, Tracker(cfg, model, variables, tokenizer=None)
+    trk = (Tracker(cfg, model, variables, tokenizer=None)
+           if build_tracker else None)
+    return cfg, model, variables, trk
 
 
 def frame_pool(n=8, seed=0):
@@ -231,7 +235,7 @@ def extra_nlbbox(config: str, iters: int) -> dict:
     from uvltrack_tpu.track.tracker import Tracker
 
     _, pool = frame_pool()
-    cfg2, model2, variables2, _ = make_tracker(config)
+    cfg2, model2, variables2, _ = make_tracker(config, build_tracker=False)
     cfg2.TEST.MODE = "NLBBOX"
     # real (tiny) vocab so the text tokens are actually unmasked in the
     # joint attention — tokenizer=None would zero-fill ids AND mask,
@@ -239,7 +243,11 @@ def extra_nlbbox(config: str, iters: int) -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as vf:
         vf.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]",
                             "the", "moving", "object"]) + "\n")
-    trk = Tracker(cfg2, model2, variables2, tokenizer=BertTokenizer(vf.name))
+    try:
+        tok = BertTokenizer(vf.name)
+    finally:
+        os.unlink(vf.name)
+    trk = Tracker(cfg2, model2, variables2, tokenizer=tok)
     trk.initialize(np.asarray(pool[0]),
                    {"init_bbox": [600.0, 300.0, 120.0, 160.0],
                     "language": "the moving object"})
@@ -395,7 +403,22 @@ def main(argv=None):
     # child's numbers (measured NLBBOX 385 vs 950 FPS), and the server only
     # reclaims a client's HBM on disconnect — so every measurement runs in
     # its own subprocess.
-    primary = run_extra_subprocess("primary", config, timeout_s=2400.0)
+    #
+    # The tunnel can blip (observed: axon init backs off ~25 min, then
+    # raises Unavailable). One bounded retry rescues the round's bench from
+    # a transient outage without doubling a genuinely-down wait forever.
+    retries = int(os.environ.get("UVLTRACK_BENCH_PRIMARY_RETRIES", "1"))
+    for attempt in range(retries + 1):
+        try:
+            primary = run_extra_subprocess("primary", config,
+                                           timeout_s=2400.0)
+            break
+        except Exception as e:
+            log(f"primary attempt {attempt + 1}/{retries + 1} failed: "
+                f"{type(e).__name__}: {e}")
+            if attempt == retries:
+                raise
+            time.sleep(60.0)
     fps_b = primary.pop("fps_primary")
     platform = primary.pop("platform", "?")
     attn = primary.pop("attn", "?")

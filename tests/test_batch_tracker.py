@@ -151,3 +151,38 @@ def test_step_many_matches_sequential_steps(bt):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
                                    atol=1e-4, rtol=1e-5)
+
+
+def test_nl_mode_grounds_instead_of_using_gt_box():
+    """NL-mode streams derive frame-0 from the grounding forward — the
+    placeholder boxes the runner passes must be IGNORED (GT leaking into
+    the grounding protocol would inflate NL benchmark numbers), and the
+    grounded boxes must match the single Tracker's per stream."""
+    from uvltrack_tpu.track.tracker import Tracker
+
+    cfg = tiny_cfg()
+    cfg.TEST.MODE = "NL"
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 255, size=(64, 96, 3)).astype(np.uint8)
+              for _ in range(2)]
+    gt = np.array([[5, 5, 10, 10], [40, 30, 12, 12]], np.float32)
+
+    bt = BatchTracker(cfg, model, variables, num_streams=2, tokenizer=None)
+    init_boxes = bt.initialize(frames, gt, languages=["a thing", "the dog"])
+    assert init_boxes.shape == (2, 4)
+    # the GT placeholder was NOT used as the initial box...
+    assert not np.allclose(init_boxes, gt)
+    assert np.allclose(np.asarray(bt.state.box), init_boxes, atol=1e-4)
+
+    # ...and each grounded box matches the single tracker's NL init
+    for i in range(2):
+        single = Tracker(cfg, model, variables, tokenizer=None)
+        out = single.initialize(frames[i], {"language": ["a thing",
+                                                         "the dog"][i]})
+        np.testing.assert_allclose(init_boxes[i],
+                                   np.asarray(out["target_bbox"]),
+                                   rtol=1e-3, atol=1e-3)

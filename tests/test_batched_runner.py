@@ -89,3 +89,30 @@ def test_batched_runner_dispatches_lmdb_frame_refs(tmp_path):
     assert stats["sequences"] == 1
     pred = np.loadtxt(os.path.join(rdir, "lm0.txt"), delimiter="\t")
     assert pred.shape == (n, 4)
+
+
+def test_batched_runner_isolates_failing_group(tmp_path, capsys):
+    """A corrupt frame mid-sequence must fail only its stream group — the
+    remaining groups still run and save results (per-group analogue of the
+    sequential runner's per-sequence try/except)."""
+    ds = _dataset(tmp_path, lengths=(4, 5, 3))
+    # corrupt one frame of s0 (group 1 with num_streams=2 groups [s0,s1],[s2])
+    bad = str(tmp_path / "s0_f2.npy")
+    with open(bad, "wb") as f:
+        f.write(b"not a numpy file")
+
+    model = tiny_model()
+    variables = jax.jit(lambda r: model.init(r, *tiny_inputs(), train=False))(
+        jax.random.PRNGKey(0))
+    cfg = tiny_cfg()
+    cfg.TEST.MODE = "BBOX"
+    rdir = str(tmp_path / "results")
+    stats = run_dataset_batched(
+        lambda S: BatchTracker(cfg, model, variables, num_streams=S),
+        ds, rdir, num_streams=2, image_loader=np.load, verbose=False)
+    out = capsys.readouterr().out
+    assert "failed" in out
+    # the second group (s2) completed and saved despite group 1 dying
+    assert stats["sequences"] == 1
+    assert os.path.isfile(os.path.join(rdir, "s2.txt"))
+    assert not os.path.isfile(os.path.join(rdir, "s0.txt"))

@@ -87,3 +87,12 @@ def test_map_box_back():
     pred = jnp.array([64.0, 64.0, 40.0, 40.0])  # cxcywh in crop px = 128/rf
     out = np.asarray(G.map_box_back(pred, prev, rf, search_size))
     assert np.allclose(out, [100.0, 200.0, 40.0, 40.0])
+
+
+def test_crop_params_degenerate_box_is_finite():
+    """Zero-area boxes clamp crop_sz to 1 (device-safe stand-in for the
+    reference's 'Too small bounding box.' exception) — no inf/NaN resize
+    factor inside the jitted tracker step."""
+    x1, y1, csz, rf = G.crop_params(
+        jnp.asarray([5.0, 5.0, 0.0, 0.0]), 4.0, 64)
+    assert int(csz) == 1 and np.isfinite(float(rf))

@@ -30,6 +30,11 @@ class CountingSampler:
         self._rng.reseed(key)
 
     def __call__(self):
+        # small busy time so a multi-worker pool must spread draws across
+        # workers — on a loaded 1-core host, worker 1 could otherwise drain
+        # every queued item before workers 2..N finish forking (observed:
+        # the all-same-pid flake in the full-suite run)
+        time.sleep(0.02)
         r = self._rng.get()
         v = float(r.random())
         return {

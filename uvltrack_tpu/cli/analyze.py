@@ -66,11 +66,21 @@ def main(argv=None):
     results_dir = os.path.join(settings.results_path, args.tracker_name,
                                args.tracker_param, report)
 
-    n = len([f for f in glob.glob(os.path.join(results_dir, "*.txt"))
-             if not f.endswith("_time.txt")])
+    # completeness check runs against every directory actually scored: with
+    # --run_ids the results live in <param>_NNN sibling dirs, not the plain
+    # <param> dir
+    if args.run_ids is not None:
+        check_dirs = [os.path.join(
+            f"{os.path.dirname(results_dir)}_{int(r):03d}", report)
+            for r in args.run_ids.split(",")]
+    else:
+        check_dirs = [results_dir]
     expected = EXPECTED_COUNTS.get(args.dataset_name)
-    if expected is not None and n < expected:
-        print(f"WARNING: incomplete results: {n}/{expected} sequences in {results_dir}")
+    for d in check_dirs:
+        n = len([f for f in glob.glob(os.path.join(d, "*.txt"))
+                 if not f.endswith("_time.txt")])
+        if expected is not None and n < expected:
+            print(f"WARNING: incomplete results: {n}/{expected} sequences in {d}")
 
     if args.got_json:
         from ..eval.plots import plot_got_success

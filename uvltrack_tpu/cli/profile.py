@@ -89,9 +89,11 @@ def main(argv=None):
         def once():
             return tracker.track(frame)
 
+    out = None
     for _ in range(args.warmup):
         out = once()
-    jax.block_until_ready(out) if not isinstance(out, dict) else None
+    if out is not None and not isinstance(out, dict):
+        jax.block_until_ready(out)
 
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)

@@ -126,15 +126,33 @@ def main(argv=None):
 
             mesh = make_mesh(data=-1, model=1)
 
+        trackers_by_s = {}
+
         def factory(S):
-            return BatchTracker(cfg, proto.jt.model, proto.jt.variables, S,
-                                tokenizer=proto.tokenizer, mesh=mesh)
+            # cache by stream count: initialize() rebuilds all per-group
+            # state, and reusing the instance keeps its jit caches — a fresh
+            # BatchTracker per group would re-trace/re-compile the full
+            # model for every group of the dataset
+            if S not in trackers_by_s:
+                trackers_by_s[S] = BatchTracker(
+                    cfg, proto.jt.model, proto.jt.variables, S,
+                    tokenizer=proto.tokenizer, mesh=mesh)
+            return trackers_by_s[S]
 
         run_dataset_batched(factory, dataset, results_dir,
                             num_streams=args.streams, rerun=args.rerun)
     else:
         run_dataset(lambda: build_tracker(cfg, args.test_checkpoint), dataset,
                     results_dir, rerun=args.rerun, chunk=args.chunk)
+    # server-evaluated splits (GOT-10k test, TrackingNet test) ship a
+    # 1-row groundtruth.txt: scoring them locally forces pred[0]=anno[0]
+    # and prints a bogus perfect 100 — point at the packagers instead
+    if all(np.asarray(s.ground_truth_rect).shape[0] <= 1 for s in dataset):
+        print(f"{args.dataset_name}: ground truth holds only the first "
+              "frame (server-evaluated split) — cannot score locally; "
+              "package with `python -m uvltrack_tpu.cli.pack` and submit "
+              "to the evaluation server")
+        return
     try:
         evaluate_results_dir(results_dir, dataset)
     except FileNotFoundError:

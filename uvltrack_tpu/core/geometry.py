@@ -88,6 +88,10 @@ def crop_params(box_xywh: jnp.ndarray, search_area_factor: float, output_sz: int
     """
     x, y, w, h = box_xywh[..., 0], box_xywh[..., 1], box_xywh[..., 2], box_xywh[..., 3]
     crop_sz = jnp.ceil(jnp.sqrt(w * h) * search_area_factor)
+    # device-safe stand-in for the reference's `if crop_sz < 1: raise
+    # Exception('Too small bounding box.')` — jitted tracker code cannot
+    # raise, so a degenerate box clamps instead of dividing by zero
+    crop_sz = jnp.maximum(crop_sz, 1.0)
     x1 = jnp.floor(jnp.round(x + 0.5 * w - crop_sz * 0.5)).astype(jnp.int32)
     y1 = jnp.floor(jnp.round(y + 0.5 * h - crop_sz * 0.5)).astype(jnp.int32)
     resize_factor = output_sz / crop_sz

@@ -26,6 +26,48 @@ def _resolution(seq: Sequence, image_loader) -> tuple:
     return image_loader(seq.frames[0]).shape[:2]
 
 
+def _run_group(batch_tracker_factory, group: List["Sequence"],
+               results_dir: str, load) -> tuple:
+    """Track one lockstep stream group to completion and save its results.
+    Returns (n_frames, elapsed_seconds)."""
+    S = len(group)
+    bt = batch_tracker_factory(S)
+    t_start = time.time()
+    frames0 = [load(s.frames[0]) for s in group]
+    # placeholder for NL streams — BatchTracker.initialize overrides their
+    # boxes with the grounding forward's prediction and returns the boxes
+    # actually used, so GT cannot leak into the grounding protocol
+    boxes0 = np.stack([np.asarray(s.ground_truth_rect[0], np.float32)
+                       for s in group])
+    langs = [s.language for s in group]
+    init_boxes = bt.initialize(frames0, boxes0, languages=langs)
+    if init_boxes is None:  # older tracker stubs without a return value
+        init_boxes = boxes0
+
+    max_len = max(len(s.frames) for s in group)
+    outs = [[list(np.asarray(init_boxes[i], np.float64))] for i in range(S)]
+    frame_idx = 1
+    while frame_idx < max_len:
+        active = np.array([frame_idx < len(s.frames) for s in group])
+        bt.set_active(active)
+        batch = np.stack([
+            load(s.frames[frame_idx]) if active[i] else frames0[i]
+            for i, s in enumerate(group)])
+        packed = bt.step(batch)
+        for i in range(S):
+            if active[i]:
+                outs[i].append(packed[i, :4].tolist())
+        frame_idx += 1
+
+    elapsed = time.time() - t_start
+    n_frames = sum(len(s.frames) for s in group)
+    for i, s in enumerate(group):
+        times = np.full(len(s.frames), elapsed / max(n_frames, 1))
+        save_results(results_dir, s.name,
+                     np.asarray(outs[i], np.float64), times)
+    return n_frames, elapsed
+
+
 def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
                         dataset: SequenceList, results_dir: str,
                         num_streams: int = 8,
@@ -48,47 +90,33 @@ def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
     for s in pending:
         buckets[_resolution(s, load)].append(s)
 
-    total_frames, total_time, done = 0, 0.0, 0
+    total_frames, total_time, done, failed = 0, 0.0, 0, 0
     for hw, seqs in buckets.items():
         for g0 in range(0, len(seqs), num_streams):
             group: List[Sequence] = seqs[g0: g0 + num_streams]
             S = len(group)
-            bt = batch_tracker_factory(S)
-            t_start = time.time()
-            frames0 = [load(s.frames[0]) for s in group]
-            boxes0 = np.stack([np.asarray(s.ground_truth_rect[0], np.float32)
-                               for s in group])
-            langs = [s.language for s in group]
-            bt.initialize(frames0, boxes0, languages=langs)
-
-            max_len = max(len(s.frames) for s in group)
-            outs = [[list(s.ground_truth_rect[0])] for s in group]
-            active = np.ones(S, bool)
-            frame_idx = 1
-            while frame_idx < max_len:
-                active = np.array([frame_idx < len(s.frames) for s in group])
-                bt.set_active(active)
-                batch = np.stack([
-                    load(s.frames[frame_idx]) if active[i] else frames0[i]
-                    for i, s in enumerate(group)])
-                packed = bt.step(batch)
-                for i in range(S):
-                    if active[i]:
-                        outs[i].append(packed[i, :4].tolist())
-                frame_idx += 1
-
-            elapsed = time.time() - t_start
-            n_frames = sum(len(s.frames) for s in group)
-            for i, s in enumerate(group):
-                times = np.full(len(s.frames), elapsed / max(n_frames, 1))
-                save_results(results_dir, s.name,
-                             np.asarray(outs[i], np.float64), times)
+            try:
+                n_frames, elapsed = _run_group(
+                    batch_tracker_factory, group, results_dir, load)
+            except Exception as e:
+                # per-group isolation, like the sequential runner's
+                # per-sequence try/except (running.py): one corrupt frame or
+                # a mid-sequence resolution change must not abort the
+                # remaining multi-hour benchmark
+                failed += S
+                print(f"group of {S} @ {hw} failed "
+                      f"({', '.join(s.name for s in group)}): "
+                      f"{type(e).__name__}: {e}")
+                continue
             total_frames += n_frames
             total_time += elapsed
             done += S
             if verbose:
                 print(f"[{done}/{len(pending)}] {S} streams @ {hw}: "
                       f"{n_frames} frames, {n_frames/elapsed:.1f} FPS aggregate")
+    if failed:
+        print(f"WARNING: {failed} sequences failed; re-run to retry them "
+              "(results for completed sequences are saved)")
     if verbose and total_time > 0:
         print(f"Done: {done} sequences, {total_frames/total_time:.1f} FPS aggregate")
     return dict(sequences=done, frames=total_frames, seconds=total_time)

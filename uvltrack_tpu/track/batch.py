@@ -92,6 +92,7 @@ class BatchTracker:
         self._text_fn = None
         self._step_cache = {}
         self._init_cache = {}
+        self._ground_cache = {}
         self._raw_fn_cache = {}
         self._many_cache = {}
 
@@ -102,6 +103,32 @@ class BatchTracker:
             self._text_fn = jax.jit(functools.partial(
                 self.model.apply, method=UVLTrack.encode_text))
         return self._text_fn
+
+    # ------------------------------------------------------------- grounding
+    def _grounding_fn(self, hw):
+        """Vmapped NL-mode grounding init (Tracker.grounding_fn per stream):
+        letterbox frame 0, zero template, flag=1 forward -> (S, 4) cxcywh
+        normalized in letterbox coordinates."""
+        if hw not in self._ground_cache:
+            from .pipeline import grounding_letterbox
+
+            gs = self.search_size
+            tz = self.template_size
+
+            def one(variables, frame, text_ids, text_mask):
+                ground = grounding_letterbox(frame.astype(jnp.float32), gs)
+                template = jnp.zeros((1, tz, tz, 3), jnp.float32)
+                tmask = jnp.zeros((1, (tz // 16) ** 2), bool)
+                cmask = jnp.zeros((1, (gs // 16) ** 2), bool)
+                flag = jnp.ones((1,), jnp.int32)
+                out = self.model.apply(variables, template, ground,
+                                       text_ids[None], text_mask[None],
+                                       tmask, cmask, flag, train=False)
+                return out["pred_boxes"][0, 0]
+
+            self._ground_cache[hw] = jax.jit(
+                jax.vmap(one, in_axes=(None, 0, 0, 0)))
+        return self._ground_cache[hw]
 
     # ------------------------------------------------------------------ init
     def _init_fn(self, hw):
@@ -129,10 +156,17 @@ class BatchTracker:
     def initialize(self, frames: List[np.ndarray], boxes: np.ndarray,
                    languages: Optional[List[Optional[str]]] = None,
                    modes: Optional[List[str]] = None):
-        """frames: S first frames (same resolution); boxes: (S,4) xywh."""
+        """frames: S first frames (same resolution); boxes: (S,4) xywh.
+
+        NL-mode streams derive their initial box from the grounding forward
+        (Tracker._grounding per stream, vmapped) — a supplied box is IGNORED
+        for those streams, so passing ground_truth_rect[0] as a placeholder
+        cannot leak GT into the grounding protocol."""
         assert len(frames) == self.S
         languages = list(languages) if languages else [None] * self.S
-        boxes = np.asarray(boxes, np.float32)
+        # copy: NL streams overwrite rows below, and np.asarray would alias
+        # a caller's float32 array (mutating the runner's boxes0)
+        boxes = np.array(boxes, np.float32)
         if self.S_pad != self.S:  # mesh padding: replay the last real stream
             pad = self.S_pad - self.S
             frames = list(frames) + [frames[-1]] * pad
@@ -141,12 +175,14 @@ class BatchTracker:
             if modes:
                 modes = list(modes) + [modes[-1]] * pad
         S = self.S_pad
+        stream_modes = [modes[i] if modes else self.cfg.TEST.MODE
+                        for i in range(S)]
         ids = np.zeros((S, self.nt), np.int32)
         mask = np.zeros((S, self.nt), np.int32)
         flags = np.zeros((S,), np.int32)
         for i, lang in enumerate(languages):
-            mode = (modes[i] if modes else self.cfg.TEST.MODE)
-            if lang is not None and self.tokenizer is not None and mode != "BBOX":
+            if (lang is not None and self.tokenizer is not None
+                    and stream_modes[i] != "BBOX"):
                 ii, mm = self.tokenizer.encode_query(lang, self.nt)
                 ids[i], mask[i] = ii, mm
                 flags[i] = 2
@@ -156,6 +192,18 @@ class BatchTracker:
 
         hw = frames[0].shape[:2]
         stacked = jnp.stack([jnp.asarray(f) for f in frames])
+        nl = [i for i in range(S) if stream_modes[i] == "NL"]
+        if nl:
+            # tokenizer=None matches Tracker's leniency (zero text ids —
+            # cli/test.py warns when a text mode has no vocab)
+            pred = np.asarray(self._grounding_fn(hw)(
+                self.variables, stacked, self.text_ids, self.text_mask))
+            ih, iw = hw
+            scale = float(max(ih, iw))
+            for i in nl:  # letterbox cxcywh -> image xywh (Tracker._grounding)
+                cx, cy, w_, h_ = pred[i] * scale
+                boxes[i] = [cx - w_ / 2 + min(0.0, (iw - ih) / 2),
+                            cy - h_ / 2 + min(0.0, (ih - iw) / 2), w_, h_]
         boxes_j = jnp.asarray(np.asarray(boxes, np.float32))
         if self.mesh is not None:
             put = lambda x: jax.device_put(x, self._stream(x.ndim))
@@ -189,6 +237,10 @@ class BatchTracker:
             best_vis_token=jnp.zeros((S, 1, c), jnp.float32),
             best_txt_token=jnp.zeros((S, 1, c), jnp.float32),
         )
+        # the boxes each stream actually initialized from (grounded for NL
+        # streams) — the runner reports these as frame 0, like
+        # Tracker.initialize's {"target_bbox": init_bbox}
+        return boxes[:self.S].copy()
 
     # ------------------------------------------------------------------ step
     def _step_fn(self, hw):

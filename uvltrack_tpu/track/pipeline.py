@@ -73,14 +73,13 @@ def sample_target_device(frame: jnp.ndarray, box_xywh: jnp.ndarray,
 
     Geometry matches sample_target (processing_utils.py:176-193).
     """
-    x, y, w, h = box_xywh[0], box_xywh[1], box_xywh[2], box_xywh[3]
-    crop_f = jnp.ceil(jnp.sqrt(w * h) * search_area_factor)
-    crop_f = jnp.maximum(crop_f, 1.0)
-    x1 = jnp.round(x + 0.5 * w - crop_f * 0.5).astype(jnp.int32)
-    y1 = jnp.round(y + 0.5 * h - crop_f * 0.5).astype(jnp.int32)
-    crop_i = crop_f.astype(jnp.int32)
+    from ..core.geometry import crop_params
+
+    # ONE copy of the crop-window math (parity-tested in test_geometry.py)
+    x1, y1, crop_i, resize_factor = crop_params(
+        box_xywh, search_area_factor, out_sz)
     patch = crop_resize(frame, x1, y1, crop_i, out_sz)
-    return normalize(patch)[None], out_sz / crop_f
+    return normalize(patch)[None], resize_factor
 
 
 def letterbox_params(h: int, w: int, out_sz: int):
