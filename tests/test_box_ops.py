@@ -1,29 +1,33 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from uvltrack_tpu.core import box_ops as B
 
+# jitted wrappers — CLAUDE.md: no eager jax in tests
+_j = jax.jit
+
 
 def test_conversion_roundtrip():
     b = jnp.array([[10.0, 20.0, 30.0, 40.0], [0.0, 0.0, 5.0, 5.0]])
-    assert np.allclose(B.box_xyxy_to_xywh(B.box_xywh_to_xyxy(b)), b)
-    assert np.allclose(B.box_cxcywh_to_xywh(B.box_xywh_to_cxcywh(b)), b)
-    assert np.allclose(B.box_xyxy_to_cxcywh(B.box_xywh_to_xyxy(b)), B.box_xywh_to_cxcywh(b))
+    assert np.allclose(_j(B.box_xyxy_to_xywh)(_j(B.box_xywh_to_xyxy)(b)), b)
+    assert np.allclose(_j(B.box_cxcywh_to_xywh)(_j(B.box_xywh_to_cxcywh)(b)), b)
+    assert np.allclose(_j(B.box_xyxy_to_cxcywh)(_j(B.box_xywh_to_xyxy)(b)), _j(B.box_xywh_to_cxcywh)(b))
 
 
 def test_cxcywh_scale():
     b = jnp.array([[10.0, 20.0, 30.0, 40.0]])
-    s = B.box_xywh_to_cxcywh_scale(b, 0.5)
+    s = _j(lambda x: B.box_xywh_to_cxcywh_scale(x, 0.5))(b)
     assert np.allclose(s, [[25.0, 40.0, 15.0, 20.0]])
 
 
 def test_iou_identical_and_disjoint():
     a = jnp.array([[0.0, 0.0, 10.0, 10.0]])
-    iou, union = B.box_iou(a, a)
+    iou, union = _j(B.box_iou)(a, a)
     assert np.allclose(iou, 1.0) and np.allclose(union, 100.0)
     c = jnp.array([[20.0, 20.0, 30.0, 30.0]])
-    iou, _ = B.box_iou(a, c)
+    iou, _ = _j(B.box_iou)(a, c)
     assert np.allclose(iou, 0.0)
 
 
@@ -31,12 +35,12 @@ def test_giou_known_value():
     # Two unit boxes side by side: IoU=0, enclosing area=2, union=2 -> GIoU=0
     a = jnp.array([[0.0, 0.0, 1.0, 1.0]])
     b = jnp.array([[1.0, 0.0, 2.0, 1.0]])
-    giou, iou = B.generalized_box_iou(a, b)
+    giou, iou = _j(B.generalized_box_iou)(a, b)
     assert np.allclose(iou, 0.0)
     assert np.allclose(giou, 0.0, atol=1e-6)
     # Diagonal unit boxes: enclosing 4, union 2 -> GIoU = 0 - 2/4 = -0.5
     c = jnp.array([[1.0, 1.0, 2.0, 2.0]])
-    giou, _ = B.generalized_box_iou(a, c)
+    giou, _ = _j(B.generalized_box_iou)(a, c)
     assert np.allclose(giou, -0.5, atol=1e-6)
 
 
@@ -61,16 +65,19 @@ def test_giou_matches_numpy_oracle():
     enc = enc_w * enc_h
     giou_o = iou_o - (enc - union) / enc
 
-    giou_j, iou_j = B.generalized_box_iou(jnp.asarray(a, dtype=jnp.float32), jnp.asarray(b, dtype=jnp.float32))
+    giou_j, iou_j = _j(B.generalized_box_iou)(jnp.asarray(a, dtype=jnp.float32), jnp.asarray(b, dtype=jnp.float32))
     assert np.allclose(np.asarray(giou_j), giou_o, atol=1e-4)
     assert np.allclose(np.asarray(iou_j), iou_o, atol=1e-4)
 
 
+_clip = jax.jit(lambda b: B.clip_box_xywh(b, 100, 200, margin=10))
+
+
 def test_clip_box_margin():
     box = jnp.array([-5.0, -5.0, 3.0, 3.0])  # fully outside top-left
-    out = np.asarray(B.clip_box_xywh(box, 100, 200, margin=10))
+    out = np.asarray(_clip(box))
     x1, y1, w, h = out
     assert x1 >= 0 and y1 >= 0
     assert w >= 10 and h >= 10
     box2 = jnp.array([50.0, 60.0, 20.0, 30.0])  # inside: unchanged
-    assert np.allclose(B.clip_box_xywh(box2, 100, 200, margin=10), box2)
+    assert np.allclose(_clip(box2), box2)

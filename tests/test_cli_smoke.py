@@ -29,23 +29,24 @@ def test_setup_env_writes_template(tmp_path, monkeypatch):
 
     from uvltrack_tpu.cli import setup_env
 
-    # redirect the repo dir by monkeypatching the module's path logic
-    target = tmp_path / "local_paths.yaml"
-    orig = setup_env.os.path.dirname
-
     real_repo = os.path.dirname(os.path.dirname(os.path.abspath(setup_env.__file__)))
     # run against the real repo path but don't clobber an existing file
-    had = os.path.exists(os.path.join(os.path.dirname(real_repo), "local_paths.yaml"))
-    if had:
-        pytest.skip("local_paths.yaml already present")
-    setup_env.main([])
     path = os.path.join(os.path.dirname(real_repo), "local_paths.yaml")
-    assert os.path.exists(path)
-    import yaml
+    if os.path.exists(path):
+        pytest.skip("local_paths.yaml already present")
+    # finally-guarded: a failing assertion must not leave the template in
+    # the repo root (it would make every later run skip AND be loaded by
+    # eval/environment as the live path config)
+    try:
+        setup_env.main([])
+        assert os.path.exists(path)
+        import yaml
 
-    data = yaml.safe_load(open(path))
-    assert "otb99_path" in data and "results_path" in data
-    os.remove(path)
+        data = yaml.safe_load(open(path))
+        assert "otb99_path" in data and "results_path" in data
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
 
 
 def test_analyze_per_seq_and_got_json(tmp_path, monkeypatch):

@@ -1,3 +1,6 @@
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,7 +32,7 @@ def test_anno2mask_matches_oracle():
         ],
         np.float32,
     )
-    got = np.asarray(G.anno2mask(jnp.asarray(boxes), 16))
+    got = np.asarray(jax.jit(functools.partial(G.anno2mask, size=16))(jnp.asarray(boxes)))
     for k in range(len(boxes)):
         want = _mask_oracle(boxes[k], 16)
         assert (got[k] == want).all(), k
@@ -37,13 +40,13 @@ def test_anno2mask_matches_oracle():
 
 def test_anno2mask_center_always_set():
     boxes = jnp.asarray(np.array([[0.5, 0.5, 0.001, 0.001]], np.float32))
-    m = np.asarray(G.anno2mask(boxes, 8))
+    m = np.asarray(jax.jit(functools.partial(G.anno2mask, size=8))(boxes))
     assert m.sum() == 1
 
 
 def test_cont_gt_three_way_labels():
     boxes = jnp.asarray(np.array([[0.25, 0.25, 0.5, 0.5]], np.float32))
-    t = np.asarray(G.cont_gt(boxes, 16, ctr_ratio=0.75)).reshape(16, 16)
+    t = np.asarray(jax.jit(functools.partial(G.cont_gt, size=16, ctr_ratio=0.75))(boxes)).reshape(16, 16)
     assert set(np.unique(t)) <= {-1, 0, 1}
     # center cell is class 0
     assert t[8, 8] == 0
@@ -55,7 +58,7 @@ def test_cont_gt_three_way_labels():
 
 def test_rotate_half_batch():
     x = jnp.arange(6).reshape(6, 1)
-    out = np.asarray(G.rotate_half_batch(x)).reshape(-1)
+    out = np.asarray(jax.jit(G.rotate_half_batch)(x)).reshape(-1)
     assert (out == np.array([3, 4, 5, 0, 1, 2])).all()
 
 
@@ -67,7 +70,9 @@ def test_crop_params_matches_reference_rounding():
         np.float32,
     )
     factor, out_sz = 4.0, 256
-    x1j, y1j, cszj, rfj = G.crop_params(jnp.asarray(boxes), factor, out_sz)
+    x1j, y1j, cszj, rfj = jax.jit(
+        functools.partial(G.crop_params, search_area_factor=factor,
+                          output_sz=out_sz))(jnp.asarray(boxes))
     for k, (x, y, w, h) in enumerate(boxes):
         crop_sz = math.ceil(math.sqrt(w * h) * factor)
         x1 = int(round(x + 0.5 * w - crop_sz * 0.5))
@@ -85,7 +90,9 @@ def test_map_box_back():
     search_size = 256
     # prediction exactly at crop center with same size should keep the center
     pred = jnp.array([64.0, 64.0, 40.0, 40.0])  # cxcywh in crop px = 128/rf
-    out = np.asarray(G.map_box_back(pred, prev, rf, search_size))
+    out = np.asarray(jax.jit(
+        functools.partial(G.map_box_back, search_size=search_size))(
+        pred, prev, rf))
     assert np.allclose(out, [100.0, 200.0, 40.0, 40.0])
 
 
@@ -93,6 +100,7 @@ def test_crop_params_degenerate_box_is_finite():
     """Zero-area boxes clamp crop_sz to 1 (device-safe stand-in for the
     reference's 'Too small bounding box.' exception) — no inf/NaN resize
     factor inside the jitted tracker step."""
-    x1, y1, csz, rf = G.crop_params(
-        jnp.asarray([5.0, 5.0, 0.0, 0.0]), 4.0, 64)
+    x1, y1, csz, rf = jax.jit(functools.partial(
+        G.crop_params, search_area_factor=4.0, output_sz=64))(
+        jnp.asarray([5.0, 5.0, 0.0, 0.0]))
     assert int(csz) == 1 and np.isfinite(float(rf))

@@ -1,3 +1,6 @@
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,7 +43,8 @@ def _draw_gaussian_oracle(box, out_size, dynamic, gaussian_iou):
 
 def test_cls_label_fixed_radius_matches_oracle():
     boxes = np.array([[0.25, 0.25, 0.5, 0.5], [0.7, 0.1, 0.2, 0.3]], np.float32)
-    got = np.asarray(HM.generate_cls_label(jnp.asarray(boxes), 16, dynamic=False))
+    got = np.asarray(jax.jit(functools.partial(
+        HM.generate_cls_label, out_size=16, dynamic=False))(jnp.asarray(boxes)))
     for k in range(len(boxes)):
         want = _draw_gaussian_oracle(boxes[k], 16, False, 0.7)
         assert np.allclose(got[k], want, atol=1e-6), k
@@ -48,7 +52,9 @@ def test_cls_label_fixed_radius_matches_oracle():
 
 def test_cls_label_dynamic_radius_matches_oracle():
     boxes = np.array([[0.1, 0.1, 0.8, 0.8], [0.4, 0.4, 0.2, 0.1]], np.float32)
-    got = np.asarray(HM.generate_cls_label(jnp.asarray(boxes), 16, gaussian_iou=0.7, dynamic=True))
+    got = np.asarray(jax.jit(functools.partial(
+        HM.generate_cls_label, out_size=16, gaussian_iou=0.7,
+        dynamic=True))(jnp.asarray(boxes)))
     for k in range(len(boxes)):
         want = _draw_gaussian_oracle(boxes[k], 16, True, 0.7)
         assert np.allclose(got[k], want, atol=1e-6), k
@@ -56,7 +62,7 @@ def test_cls_label_dynamic_radius_matches_oracle():
 
 def test_cls_label_peak_at_center():
     boxes = jnp.asarray(np.array([[0.25, 0.25, 0.5, 0.5]], np.float32))
-    m = np.asarray(HM.generate_cls_label(boxes, 16))
+    m = np.asarray(jax.jit(functools.partial(HM.generate_cls_label, out_size=16))(boxes))
     assert m[0].max() == 1.0
     assert m[0, 8, 8] == 1.0
 

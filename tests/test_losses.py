@@ -1,3 +1,6 @@
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -26,8 +29,12 @@ def test_gauss_focal_matches_torch_formula():
     want_sum = -(pos_loss + neg_loss).item()
     want_mean = want_sum / pred.size
 
-    got_sum = float(L.gauss_weighted_focal_loss(jnp.asarray(pred), jnp.asarray(gt), "sum"))
-    got_mean = float(L.gauss_weighted_focal_loss(jnp.asarray(pred), jnp.asarray(gt), "mean"))
+    got_sum = float(jax.jit(functools.partial(
+        L.gauss_weighted_focal_loss, reduction="sum"))(
+        jnp.asarray(pred), jnp.asarray(gt)))
+    got_mean = float(jax.jit(functools.partial(
+        L.gauss_weighted_focal_loss, reduction="mean"))(
+        jnp.asarray(pred), jnp.asarray(gt)))
     assert np.isclose(got_sum, want_sum, rtol=1e-5)
     assert np.isclose(got_mean, want_mean, rtol=1e-5)
 
@@ -40,9 +47,9 @@ def test_weighted_ce_ignore_matches_torch():
 
     want = torch.nn.CrossEntropyLoss(weight=torch.tensor(w), ignore_index=-1)(
         torch.tensor(logits), torch.tensor(targets)).item()
-    got = float(L.weighted_ce_ignore(jnp.asarray(logits),
-                                     jnp.asarray(targets.astype(np.int32)),
-                                     jnp.asarray(w)))
+    got = float(jax.jit(L.weighted_ce_ignore)(
+        jnp.asarray(logits), jnp.asarray(targets.astype(np.int32)),
+        jnp.asarray(w)))
     assert np.isclose(got, want, rtol=1e-5)
 
 
@@ -51,7 +58,8 @@ def test_bilinear_sample_matches_torch_grid_sample():
     maps = rng.normal(size=(8, 16, 16)).astype(np.float32)
     xy = rng.uniform(-1.2, 1.2, size=(8, 2)).astype(np.float32)  # incl. border
 
-    got = np.asarray(L._bilinear_sample_border(jnp.asarray(maps), jnp.asarray(xy)))
+    got = np.asarray(jax.jit(L._bilinear_sample_border)(
+        jnp.asarray(maps), jnp.asarray(xy)))
     want = F.grid_sample(torch.tensor(maps)[:, None],
                          torch.tensor(xy).reshape(8, 1, 1, 2),
                          padding_mode="border", align_corners=True)
@@ -70,8 +78,8 @@ def test_aux_loss_positive_beats_negative():
     good[0, 0, 7:9, 7:9] = 10.0
     bad = np.full((1, 1, sz, sz), -5.0, np.float32)
     bad[0, 0, 0, 0] = 10.0
-    l_good = float(L.aux_contrastive_loss(jnp.asarray(good), gt))
-    l_bad = float(L.aux_contrastive_loss(jnp.asarray(bad), gt))
+    l_good = float(jax.jit(L.aux_contrastive_loss)(jnp.asarray(good), gt))
+    l_bad = float(jax.jit(L.aux_contrastive_loss)(jnp.asarray(bad), gt))
     assert l_good < 0.01
     assert l_bad > 1.0
 
@@ -81,7 +89,7 @@ def test_box_losses_perfect_prediction():
     # bbox_map where every position predicts the gt box (cxcywh)
     bmap = jnp.tile(jnp.asarray([[0.5, 0.5, 0.5, 0.5]]), (1, 16, 1))[None][0]
     bmap = bmap.reshape(1, 16, 4)
-    gl, l1, iou = L.box_losses(bmap, gt)
+    gl, l1, iou = jax.jit(L.box_losses)(bmap, gt)
     assert float(iou) > 0.999
     assert float(gl) < 1e-4
     assert float(l1) < 1e-6
@@ -89,12 +97,13 @@ def test_box_losses_perfect_prediction():
 
 def test_cont_gt_cross_check_with_loss():
     gt = jnp.asarray(np.array([[0.25, 0.25, 0.5, 0.5]], np.float32))
-    t = cont_gt(gt, 16)
+    t = jax.jit(functools.partial(cont_gt, size=16))(gt)
     # logits that put all mass on class 0 where target==0 and class 1 where 1
     tt = np.asarray(t).reshape(-1)
     logits = np.zeros((256, 2), np.float32)
     logits[tt == 0, 0] = 10.0
     logits[tt == 1, 1] = 10.0
     w = jnp.asarray([0.5, 0.5])
-    loss = float(L.weighted_ce_ignore(jnp.asarray(logits), jnp.asarray(tt), w))
+    loss = float(jax.jit(L.weighted_ce_ignore)(
+        jnp.asarray(logits), jnp.asarray(tt), w))
     assert loss < 1e-3

@@ -9,10 +9,14 @@ import pytest
 
 from uvltrack_tpu.ops.prroi_pool import _hat_cumint, prroi_pool, prroi_pool_one
 
+# jitted wrappers (pooled dims static) — CLAUDE.md: no eager jax in tests
+_pool_2x2 = jax.jit(lambda f, r: prroi_pool(f, r, 2, 2))
+_pool_one_2x3 = jax.jit(lambda f, r: prroi_pool_one(f, r, 2, 3))
+
 
 def test_hat_cumint_values():
     t = jnp.asarray([-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0])
-    got = np.asarray(_hat_cumint(t))
+    got = np.asarray(jax.jit(_hat_cumint)(t))
     want = [0.0, 0.0, 0.125, 0.5, 0.875, 1.0, 1.0]
     assert np.allclose(got, want)
 
@@ -25,7 +29,7 @@ def test_matches_average_pooling_on_aligned_rois():
     feat = rng.normal(size=(1, 8, 8, 2)).astype(np.float32)
     # roi [x1,y1,x2,y2] = [1,1,5,5], pooled 2x2 -> bins of 2x2 cells
     rois = jnp.asarray([[0, 1.0, 1.0, 5.0, 5.0]], jnp.float32)
-    out = np.asarray(prroi_pool(jnp.asarray(feat), rois, 2, 2))
+    out = np.asarray(_pool_2x2(jnp.asarray(feat), rois))
     f = feat[0]
 
     def cell_integral(y, x, c):
@@ -47,13 +51,14 @@ def test_matches_numeric_integration():
     rng = np.random.default_rng(1)
     feat = rng.normal(size=(6, 7, 1)).astype(np.float32)
     roi = np.array([0.7, 1.3, 5.2, 4.1], np.float32)
-    out = np.asarray(prroi_pool_one(jnp.asarray(feat), jnp.asarray(roi), 2, 3))
+    out = np.asarray(_pool_one_2x3(jnp.asarray(feat), jnp.asarray(roi)))
 
     def bilinear(y, x):
+        # no index clamping: the hat-basis surface is zero outside the
+        # grid, which px() already encodes — clamping would snap border
+        # samples to the wrong cell (and the old bounds had H/W swapped)
         x0, y0 = int(np.floor(x)), int(np.floor(y))
-        x0 = np.clip(x0, 0, 6 - 1)
-        y0 = np.clip(y0, 0, 5 - 1)
-        x1, y1 = min(x0 + 1, 6), min(y0 + 1, 5)
+        x1, y1 = x0 + 1, y0 + 1
         wx, wy = x - x0, y - y0
 
         def px(yy, xx):
@@ -85,15 +90,16 @@ def test_gradients_wrt_coords_and_features():
         return prroi_pool(f, rois, 2, 2).sum()
 
     roi = jnp.asarray([1.2, 1.5, 6.3, 6.1], jnp.float32)
-    g_roi, g_feat = jax.grad(loss, argnums=(0, 1))(roi, feat)
+    g_roi, g_feat = jax.jit(jax.grad(loss, argnums=(0, 1)))(roi, feat)
     assert np.isfinite(np.asarray(g_roi)).all() and np.abs(np.asarray(g_roi)).sum() > 0
     assert np.isfinite(np.asarray(g_feat)).all() and np.abs(np.asarray(g_feat)).sum() > 0
     # numeric check of one coordinate gradient
     eps = 1e-3
 
+    loss_j = jax.jit(loss)
+
     def f_at(v):
-        r = roi.at[0].set(v)
-        return float(loss(r, feat))
+        return float(loss_j(roi.at[0].set(v), feat))
 
     num = (f_at(float(roi[0]) + eps) - f_at(float(roi[0]) - eps)) / (2 * eps)
     assert np.isclose(float(g_roi[0]), num, atol=5e-2)
@@ -102,7 +108,7 @@ def test_gradients_wrt_coords_and_features():
 def test_zero_area_roi_is_zero():
     feat = jnp.ones((1, 8, 8, 1))
     rois = jnp.asarray([[0, 3.0, 3.0, 3.0, 5.0]], jnp.float32)  # zero width
-    out = np.asarray(prroi_pool(feat, rois, 2, 2))
+    out = np.asarray(_pool_2x2(feat, rois))
     assert np.allclose(out, 0.0)
 
 
@@ -115,14 +121,15 @@ def test_doubly_inverted_roi_is_zero_like_cuda():
 
     feat = jnp.ones((1, 8, 8, 1))
     rois = jnp.asarray([[0, 5.0, 6.0, 2.0, 3.0]], jnp.float32)  # reversed
-    out = np.asarray(prroi_pool(feat, rois, 2, 2))
+    out = np.asarray(_pool_2x2(feat, rois))
     assert np.allclose(out, 0.0)
 
     def pooled_sum(coords):
         r = jnp.concatenate([jnp.zeros((1, 1)), coords[None]], axis=1)
         return prroi_pool(feat, r, 2, 2).sum()
 
-    g = np.asarray(jax.grad(pooled_sum)(jnp.asarray([5.0, 6.0, 2.0, 3.0])))
+    g = np.asarray(jax.jit(jax.grad(pooled_sum))(
+        jnp.asarray([5.0, 6.0, 2.0, 3.0])))
     assert np.allclose(g, 0.0)
 
 

@@ -69,26 +69,27 @@ def test_prompt_refresh_changes_prompt(tracker):
     assert float(tracker.state.max_score) == 0.0
 
 
-def test_nlbbox_mode_uses_flag2(tracker):
-    tracker.cfg.TEST.MODE = "NLBBOX"
+def test_nlbbox_mode_uses_flag2(tracker, monkeypatch):
+    # monkeypatch restores the module-scoped fixture's mode even when an
+    # assertion fails mid-test (a trailing reset would be skipped and every
+    # later test would inherit the wrong mode)
+    monkeypatch.setitem(tracker.cfg.TEST, "MODE", "NLBBOX")
     rng = np.random.default_rng(1)
     frame = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
     tracker.initialize(frame, {"init_bbox": [10, 10, 30, 30], "language": "a red box"})
     assert int(tracker.flag[0]) == 2
     out = tracker.track(rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8))
     assert len(out["target_bbox"]) == 4
-    tracker.cfg.TEST.MODE = "BBOX"
 
 
-def test_nl_mode_grounding_init(tracker):
-    tracker.cfg.TEST.MODE = "NL"
+def test_nl_mode_grounding_init(tracker, monkeypatch):
+    monkeypatch.setitem(tracker.cfg.TEST, "MODE", "NL")
     rng = np.random.default_rng(2)
     frame = rng.integers(0, 255, size=(64, 96, 3)).astype(np.uint8)
     out = tracker.initialize(frame, {"language": "the thing"})
     box = out["target_bbox"]
     assert len(box) == 4 and all(np.isfinite(box))
     assert int(tracker.flag[0]) == 2  # after grounding, tracking runs NLBBOX-style
-    tracker.cfg.TEST.MODE = "BBOX"
 
 
 def test_track_many_mixed_resolution_keeps_frame_alignment(tracker):
