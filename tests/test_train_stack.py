@@ -267,3 +267,42 @@ def test_trainer_fail_safe_restarts_from_checkpoint(setup, tmp_path):
 
     with _pytest.raises(RuntimeError):
         trainer2.train(3, load_latest=False, fail_safe=False)
+
+
+def test_trainer_donated_state_no_checkpoint_reraises(setup, tmp_path):
+    """A crash INSIDE a donating step before any checkpoint exists leaves
+    self.state's buffers deleted; the fail-safe must re-raise the original
+    error instead of burning max_retries on 'Array has been deleted'."""
+    import jax
+
+    from uvltrack_tpu.train.trainer import Trainer
+
+    cfg, model, variables, batch = setup
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch=2)
+    state = create_train_state(variables, tx)
+    mesh = make_mesh(data=1, model=1)
+    real_step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh,
+                                       donate=True)
+
+    def step_then_crash(s, b):
+        out, m = real_step(s, b)  # really donates s's buffers...
+        jax.block_until_ready(out)
+        raise RuntimeError("device failure after donation")  # ...then dies
+
+    class Loader:
+        def __iter__(self):
+            yield batch
+
+        def __len__(self):
+            return 1
+
+    log = tmp_path / "t.log"
+    trainer = Trainer(cfg, step_then_crash, state, Loader(),
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      log_path=str(log))
+    with pytest.raises(RuntimeError, match="device failure after donation"):
+        trainer.train(2, load_latest=False, fail_safe=True, max_retries=10)
+    text = log.read_text()
+    assert "no checkpoint exists; re-raising" in text
+    # exactly one attempt was made - not 10 masked retries
+    assert "crashed (retry 2)" not in text

@@ -186,6 +186,18 @@ class Trainer:
                           + traceback.format_exc())
                 self.epoch -= 1
                 if self.ckpt.has_checkpoint():
+                    # safe even after donation: restore only reads the
+                    # template's STRUCTURE (from_state_dict), never the
+                    # possibly-deleted buffers
                     self.state, _, self.epoch = self.ckpt.restore(self.state)
                     self._log(f"restarted from epoch {self.epoch}")
+                elif any(getattr(x, "is_deleted", lambda: False)()
+                         for x in jax.tree_util.tree_leaves(self.state)):
+                    # the step donated the state and the crash left its
+                    # buffers deleted, with no checkpoint to reload:
+                    # retrying would raise 'Array has been deleted'
+                    # max_retries times and mask the real error
+                    self._log("donated state invalidated and no checkpoint "
+                              "exists; re-raising the original error")
+                    raise
         return self.state
