@@ -117,3 +117,87 @@ def test_analyze_per_seq_and_got_json(tmp_path, monkeypatch):
                          "--save_file", str(merged_file)])
     assert merged_file.read_text() == text
     reset_env_cache()
+
+
+def test_cli_test_batched_end_to_end(tmp_path, monkeypatch, capsys):
+    """cli/test --streams N end-to-end on a tiny real model: argparse ->
+    experiment yaml -> checkpoint resolution -> batched runner (factory
+    cached per stream count) -> result files -> local scoring; plus the
+    server-split guard (1-row GT prints the packager hint, never AUC=100)."""
+    import cv2
+    import numpy as np
+
+    from uvltrack_tpu.cli import test as cli_test
+    from uvltrack_tpu.eval.data import Sequence, SequenceList
+    from uvltrack_tpu.eval.datasets import DATASET_BUILDERS
+    from uvltrack_tpu.eval.environment import reset_env_cache
+    from uvltrack_tpu.models import bert as bert_mod
+    from uvltrack_tpu.models import uvltrack as uv
+    from uvltrack_tpu.models.vit import VIT_VARIANTS
+
+    # tiny real model through the full build_model path
+    monkeypatch.setitem(VIT_VARIANTS, "base",
+                        dict(embed_dim=32, depth=2, num_heads=4))
+    tiny_bert = bert_mod.BertConfig(vocab_size=64, hidden_size=32,
+                                    num_layers=1, num_heads=4,
+                                    intermediate_size=64, max_position=64)
+    monkeypatch.setattr(uv, "bert_config_from_type", lambda t: tiny_bert)
+
+    (tmp_path / "experiments" / "uvltrack").mkdir(parents=True)
+    (tmp_path / "experiments" / "uvltrack" / "tiny_smoke.yaml").write_text(
+        "DATA: {TEMPLATE: {SIZE: 32}, SEARCH: {SIZE: 64}}\n"
+        "MODEL:\n"
+        "  HIDDEN_DIM: 32\n"
+        "  HEAD: {HEAD_DIM: 32}\n"
+        "  BACKBONE: {FUSION_LAYER: [1], CONT_LOSS_LAYER: [1]}\n"
+        "TEST: {TEMPLATE_SIZE: 32, SEARCH_SIZE: 64, TEMPLATE_FACTOR: 2.0,\n"
+        "       SEARCH_FACTOR: 4.0, MODE: BBOX, EPOCH: 1, UPDATE_INTERVAL: 2,\n"
+        "       THRESHOLD: 0.5}\n")
+    monkeypatch.setenv("UVLTRACK_REPO", str(tmp_path))
+    reset_env_cache()
+
+    rng = np.random.default_rng(0)
+
+    def _seq(name, n):
+        frames = []
+        for i in range(n):
+            p = str(tmp_path / f"{name}_f{i}.jpg")
+            cv2.imwrite(p, rng.integers(0, 255, (64, 96, 3)).astype(np.uint8))
+            frames.append(p)
+        gt = np.tile([[10.0, 12.0, 20.0, 18.0]], (n, 1))
+        return Sequence(name, frames, "otb99", gt)
+
+    monkeypatch.setitem(DATASET_BUILDERS, "tinybench",
+                        lambda: SequenceList([_seq("a", 4), _seq("b", 3),
+                                              _seq("c", 3)]))
+    try:
+        cli_test.main(["uvltrack", "tiny_smoke", "--dataset_name", "tinybench",
+                       "--streams", "2"])
+    finally:
+        reset_env_cache()
+    out = capsys.readouterr().out
+    assert "no checkpoint found" in out
+    assert "AUC=" in out  # local scoring ran
+    rdir = (tmp_path / "output" / "test" / "tracking_results" / "uvltrack"
+            / "tiny_smoke" / "tinybench_BBOX_0001")
+    for name, n in (("a", 4), ("b", 3), ("c", 3)):
+        pred = np.loadtxt(rdir / f"{name}.txt", delimiter="\t")
+        assert pred.shape == (n, 4)
+
+    # server-evaluated split: 1-row GT -> packager hint, no bogus score
+    def _server_seq():
+        s = _seq("srv", 3)
+        return SequenceList([Sequence("srv", s.frames, "got10k_test",
+                                      s.ground_truth_rect[:1])])
+
+    monkeypatch.setitem(DATASET_BUILDERS, "srvbench", _server_seq)
+    reset_env_cache()
+    monkeypatch.setenv("UVLTRACK_REPO", str(tmp_path))
+    try:
+        cli_test.main(["uvltrack", "tiny_smoke", "--dataset_name", "srvbench",
+                       "--streams", "2"])
+    finally:
+        reset_env_cache()
+    out = capsys.readouterr().out
+    assert "cannot score locally" in out
+    assert "AUC=" not in out
