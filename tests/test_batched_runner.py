@@ -91,12 +91,13 @@ def test_batched_runner_dispatches_lmdb_frame_refs(tmp_path):
     assert pred.shape == (n, 4)
 
 
-def test_batched_runner_isolates_failing_group(tmp_path, capsys):
-    """A corrupt frame mid-sequence must fail only its stream group — the
-    remaining groups still run and save results (per-group analogue of the
-    sequential runner's per-sequence try/except)."""
+def test_batched_runner_isolates_failing_stream(tmp_path, capsys):
+    """A corrupt frame mid-sequence must fail ONLY its stream — the rest of
+    the group and the remaining groups keep tracking and save results
+    (per-sequence analogue of the sequential runner's try/except). A
+    frame-0 failure (init-time) is isolated at the group level."""
     ds = _dataset(tmp_path, lengths=(4, 5, 3))
-    # corrupt one frame of s0 (group 1 with num_streams=2 groups [s0,s1],[s2])
+    # corrupt a mid-sequence frame of s0 (group 1 is [s0, s1] at streams=2)
     bad = str(tmp_path / "s0_f2.npy")
     with open(bad, "wb") as f:
         f.write(b"not a numpy file")
@@ -111,8 +112,35 @@ def test_batched_runner_isolates_failing_group(tmp_path, capsys):
         lambda S: BatchTracker(cfg, model, variables, num_streams=S),
         ds, rdir, num_streams=2, image_loader=np.load, verbose=False)
     out = capsys.readouterr().out
-    assert "failed" in out
-    # the second group (s2) completed and saved despite group 1 dying
-    assert stats["sequences"] == 1
+    assert "s0 failed" in out and "re-run" in out
+    # s1 (same group as the corrupt s0) AND s2 completed and saved
+    assert stats["sequences"] == 2
+    assert os.path.isfile(os.path.join(rdir, "s1.txt"))
     assert os.path.isfile(os.path.join(rdir, "s2.txt"))
+    assert not os.path.isfile(os.path.join(rdir, "s0.txt"))
+    pred = np.loadtxt(os.path.join(rdir, "s1.txt"), delimiter="\t")
+    assert pred.shape == (5, 4)  # s1 tracked to ITS full length
+
+
+def test_batched_runner_freezes_stream_on_resolution_change(tmp_path, capsys):
+    """Bucketing only checks frame 0: a mid-sequence resolution change must
+    freeze that stream (no stacked-shape crash), not kill the group."""
+    ds = _dataset(tmp_path, lengths=(4, 4))
+    rng = np.random.default_rng(3)
+    np.save(tmp_path / "s0_f2.npy",
+            rng.integers(0, 255, size=(32, 48, 3)).astype(np.uint8))
+
+    model = tiny_model()
+    variables = jax.jit(lambda r: model.init(r, *tiny_inputs(), train=False))(
+        jax.random.PRNGKey(0))
+    cfg = tiny_cfg()
+    cfg.TEST.MODE = "BBOX"
+    rdir = str(tmp_path / "results")
+    stats = run_dataset_batched(
+        lambda S: BatchTracker(cfg, model, variables, num_streams=S),
+        ds, rdir, num_streams=2, image_loader=np.load, verbose=False)
+    out = capsys.readouterr().out
+    assert "shape change" in out
+    assert stats["sequences"] == 1
+    assert os.path.isfile(os.path.join(rdir, "s1.txt"))
     assert not os.path.isfile(os.path.join(rdir, "s0.txt"))

@@ -29,7 +29,12 @@ def _resolution(seq: Sequence, image_loader) -> tuple:
 def _run_group(batch_tracker_factory, group: List["Sequence"],
                results_dir: str, load) -> tuple:
     """Track one lockstep stream group to completion and save its results.
-    Returns (n_frames, elapsed_seconds)."""
+    Returns (n_frames, elapsed_seconds, n_failed_streams).
+
+    Failures are isolated PER STREAM: a corrupt frame or a mid-sequence
+    resolution change (bucketing only sees frame 0) freezes that stream and
+    skips saving its result file (a re-run or --streams 1 retries it); the
+    other streams in the group keep tracking."""
     S = len(group)
     bt = batch_tracker_factory(S)
     t_start = time.time()
@@ -46,26 +51,48 @@ def _run_group(batch_tracker_factory, group: List["Sequence"],
 
     max_len = max(len(s.frames) for s in group)
     outs = [[list(np.asarray(init_boxes[i], np.float64))] for i in range(S)]
+    failed = {}
     frame_idx = 1
     while frame_idx < max_len:
-        active = np.array([frame_idx < len(s.frames) for s in group])
+        rows = []
+        active = np.zeros(S, bool)
+        for i, s in enumerate(group):
+            if i in failed or frame_idx >= len(s.frames):
+                rows.append(frames0[i])
+                continue
+            try:
+                f = load(s.frames[frame_idx])
+                if f.shape != frames0[i].shape:
+                    raise ValueError(
+                        f"shape change {f.shape} vs {frames0[i].shape} "
+                        f"at frame {frame_idx}")
+            except Exception as e:
+                failed[i] = e
+                rows.append(frames0[i])
+                continue
+            rows.append(f)
+            active[i] = True
+        if not active.any():
+            break
         bt.set_active(active)
-        batch = np.stack([
-            load(s.frames[frame_idx]) if active[i] else frames0[i]
-            for i, s in enumerate(group)])
-        packed = bt.step(batch)
+        packed = bt.step(np.stack(rows))
         for i in range(S):
             if active[i]:
                 outs[i].append(packed[i, :4].tolist())
         frame_idx += 1
 
     elapsed = time.time() - t_start
-    n_frames = sum(len(s.frames) for s in group)
+    n_frames = 0
     for i, s in enumerate(group):
-        times = np.full(len(s.frames), elapsed / max(n_frames, 1))
+        if i in failed:
+            print(f"{s.name} failed ({type(failed[i]).__name__}: {failed[i]});"
+                  " result not saved — re-run (or --streams 1) to retry")
+            continue
+        n_frames += len(s.frames)
+        times = np.full(len(s.frames), elapsed / max(len(s.frames), 1))
         save_results(results_dir, s.name,
                      np.asarray(outs[i], np.float64), times)
-    return n_frames, elapsed
+    return n_frames, elapsed, len(failed)
 
 
 def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
@@ -96,21 +123,23 @@ def run_dataset_batched(batch_tracker_factory: Callable[[int], object],
             group: List[Sequence] = seqs[g0: g0 + num_streams]
             S = len(group)
             try:
-                n_frames, elapsed = _run_group(
+                n_frames, elapsed, n_failed = _run_group(
                     batch_tracker_factory, group, results_dir, load)
             except Exception as e:
-                # per-group isolation, like the sequential runner's
-                # per-sequence try/except (running.py): one corrupt frame or
-                # a mid-sequence resolution change must not abort the
-                # remaining multi-hour benchmark
+                # group-level isolation for init-time errors (frame-0 load,
+                # tracker init), like the sequential runner's per-sequence
+                # try/except: one bad group must not abort the remaining
+                # multi-hour benchmark; runtime errors are isolated
+                # per-stream inside _run_group
                 failed += S
                 print(f"group of {S} @ {hw} failed "
                       f"({', '.join(s.name for s in group)}): "
                       f"{type(e).__name__}: {e}")
                 continue
+            failed += n_failed
             total_frames += n_frames
             total_time += elapsed
-            done += S
+            done += S - n_failed
             if verbose:
                 print(f"[{done}/{len(pending)}] {S} streams @ {hw}: "
                       f"{n_frames} frames, {n_frames/elapsed:.1f} FPS aggregate")
