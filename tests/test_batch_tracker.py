@@ -167,7 +167,9 @@ def test_nl_mode_grounds_instead_of_using_gt_box():
     variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
         jax.random.PRNGKey(0))
     rng = np.random.default_rng(7)
-    frames = [rng.integers(0, 255, size=(64, 96, 3)).astype(np.uint8)
+    # portrait frames (h > w): exercises the letterbox x-offset branch of
+    # the map-back (min(0, (iw-ih)/2) is 0 for landscape, negative here)
+    frames = [rng.integers(0, 255, size=(96, 64, 3)).astype(np.uint8)
               for _ in range(2)]
     gt = np.array([[5, 5, 10, 10], [40, 30, 12, 12]], np.float32)
 
