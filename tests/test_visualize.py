@@ -1,0 +1,115 @@
+"""Debug-visualization helpers + the runner's --save_vis surface.
+
+Reference parity target: lib/test/tracker/uvltrack.py:142-163
+(save_visualization: boxes drawn on frames, response-map heatmaps) — shipped
+disabled there (the save_dir assignment at :34 is commented out); here it is
+a working post-hoc overlay path behind `cli/test --save_vis`.
+"""
+
+import os
+
+import numpy as np
+
+from uvltrack_tpu.eval.data import Sequence
+from uvltrack_tpu.eval.running import run_sequence
+from uvltrack_tpu.eval.visualize import (draw_box, save_frame_with_boxes,
+                                         save_response_map,
+                                         save_sequence_video)
+
+
+def test_draw_box_marks_edges_and_preserves_input():
+    img = np.zeros((40, 60, 3), np.uint8)
+    out = draw_box(img, [10, 5, 20, 15], color=(0, 255, 0), width=1)
+    assert img.sum() == 0  # input untouched
+    assert (out[5, 10:30, 1] > 0).all()  # top edge green
+    assert (out[5:20, 10, 1] > 0).all()  # left edge green
+    assert out[12, 20].sum() == 0  # interior unfilled
+
+
+def test_save_frame_with_boxes_writes_readable_image(tmp_path):
+    import cv2
+
+    img = np.full((40, 60, 3), 17, np.uint8)
+    path = str(tmp_path / "vis" / "frame.png")
+    save_frame_with_boxes(path, img, [[5, 5, 20, 10], [8, 8, 20, 10]])
+    back = cv2.imread(path, cv2.IMREAD_COLOR)
+    assert back is not None and back.shape == (40, 60, 3)
+    # first box green in RGB -> green survives the BGR round-trip at [5,5]
+    assert back[5, 6, 1] > 200 and back[5, 6, 2] < 50
+
+
+def test_save_response_map_flat_and_square(tmp_path):
+    import cv2
+
+    flat = np.linspace(0.0, 1.0, 24 * 24).astype(np.float32)
+    p1 = str(tmp_path / "r1.png")
+    save_response_map(p1, flat)
+    back = cv2.imread(p1, cv2.IMREAD_COLOR)
+    assert back is not None and back.shape == (200, 200, 3)
+    p2 = str(tmp_path / "r2.png")
+    save_response_map(p2, np.zeros((16, 16), np.float32))  # constant map ok
+    assert cv2.imread(p2) is not None
+
+
+def test_save_sequence_video_roundtrip(tmp_path):
+    import cv2
+
+    frames = [np.full((48, 64, 3), v, np.uint8) for v in (10, 60, 110)]
+    boxes = [[4, 4, 20, 20]] * 3
+    path = str(tmp_path / "seq.mp4")
+    save_sequence_video(path, frames, boxes, fps=10)
+    cap = cv2.VideoCapture(path)
+    assert cap.isOpened()
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 3
+
+
+class _StubTracker:
+    def initialize(self, image, info):
+        self.box = list(info["init_bbox"])
+        return {"target_bbox": self.box}
+
+    def track(self, image, info=None):
+        return {"target_bbox": self.box}
+
+
+def test_run_sequence_save_vis_strided(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(6):
+        p = tmp_path / f"f{i}.npy"
+        np.save(p, rng.integers(0, 100, size=(40, 60, 3)).astype(np.uint8))
+        frames.append(str(p))
+    gt = np.tile(np.array([[5.0, 6.0, 12.0, 14.0]]), (6, 1))
+    seq = Sequence("vseq", frames, "otb99", gt)
+    rdir = str(tmp_path / "results")
+    vdir = str(tmp_path / "vis")
+    run_sequence(_StubTracker(), seq, rdir, image_loader=np.load,
+                 prefetch=1, save_vis=vdir, vis_stride=2)
+    saved = sorted(os.listdir(os.path.join(vdir, "vseq")))
+    assert saved == ["0000.jpg", "0002.jpg", "0004.jpg"]
+    back = cv2.imread(os.path.join(vdir, "vseq", "0002.jpg"))
+    assert back is not None and back.shape == (40, 60, 3)
+    # pred == gt here: green box drawn over red -> green edge present
+    assert int(back[6, 10, 1]) > int(back[6, 10, 0])
+
+
+def test_run_sequence_save_vis_single_row_gt(tmp_path):
+    # server-evaluated splits ship a 1-row groundtruth: overlays must not
+    # index past it
+    frames = []
+    for i in range(3):
+        p = tmp_path / f"g{i}.npy"
+        np.save(p, np.zeros((30, 30, 3), np.uint8))
+        frames.append(str(p))
+    seq = Sequence("oneanno", frames, "got10k_test",
+                   np.array([[2.0, 2.0, 8.0, 8.0]]))
+    vdir = str(tmp_path / "vis2")
+    run_sequence(_StubTracker(), seq, str(tmp_path / "res2"),
+                 image_loader=np.load, prefetch=1, save_vis=vdir)
+    assert len(os.listdir(os.path.join(vdir, "oneanno"))) == 3

@@ -75,6 +75,11 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=0,
                    help="scan-chunked single-stream tracking (deferred "
                         "readback, full device throughput)")
+    p.add_argument("--save_vis", default=None, metavar="DIR",
+                   help="debug: save pred(green)/gt(red) overlay frames per "
+                        "sequence under DIR (single-stream runner only)")
+    p.add_argument("--vis_stride", type=int, default=1,
+                   help="save every Nth overlay frame with --save_vis")
     args = p.parse_args(argv)
 
     from ..config import load_cfg
@@ -139,11 +144,15 @@ def main(argv=None):
                     tokenizer=proto.tokenizer, mesh=mesh)
             return trackers_by_s[S]
 
+        if args.save_vis:
+            print("--save_vis applies to the single-stream runner only; "
+                  "ignoring it with --streams")
         run_dataset_batched(factory, dataset, results_dir,
                             num_streams=args.streams, rerun=args.rerun)
     else:
         run_dataset(lambda: build_tracker(cfg, args.test_checkpoint), dataset,
-                    results_dir, rerun=args.rerun, chunk=args.chunk)
+                    results_dir, rerun=args.rerun, chunk=args.chunk,
+                    save_vis=args.save_vis, vis_stride=args.vis_stride)
     # server-evaluated splits (GOT-10k test, TrackingNet test) ship a
     # 1-row groundtruth.txt: scoring them locally forces pred[0]=anno[0]
     # and prints a bogus perfect 100 — point at the packagers instead

@@ -44,9 +44,31 @@ def dispatching_loader(base_load):
     return load
 
 
+def _save_sequence_vis(vis_dir: str, seq: Sequence, boxes, load, stride: int):
+    """Debug overlays: predicted box (green) + ground truth (red) per frame.
+
+    Parity: lib/test/tracker/uvltrack.py:142-163 save_visualization — which
+    the reference ships disabled (its save_dir assignment at :34 is commented
+    out, so enabling debug there crashes). Here it runs host-side AFTER the
+    sequence finishes so the saved per-frame times stay measurement-clean.
+    """
+    from .visualize import save_frame_with_boxes
+
+    out = os.path.join(vis_dir, seq.name)
+    gt = np.asarray(seq.ground_truth_rect, np.float64)
+    for i in range(0, len(boxes), max(stride, 1)):
+        overlays = [boxes[i]]
+        if gt.ndim == 2 and gt.shape[0] > i and np.isfinite(gt[i]).all():
+            overlays.append(gt[i])
+        save_frame_with_boxes(os.path.join(out, f"{i:04d}.jpg"),
+                              load(seq.frames[i]), overlays,
+                              colors=[(0, 255, 0), (255, 0, 0)])
+
+
 def run_sequence(tracker, seq: Sequence, results_dir: str,
                  image_loader: Optional[Callable] = None, rerun: bool = False,
-                 prefetch: int = 8, chunk: int = 0):
+                 prefetch: int = 8, chunk: int = 0,
+                 save_vis: Optional[str] = None, vis_stride: int = 1):
     """Run one sequence; returns (n_frames, elapsed_s) or None if skipped.
 
     Frames are decoded by the native prefetcher `prefetch` frames ahead of
@@ -97,19 +119,23 @@ def run_sequence(tracker, seq: Sequence, results_dir: str,
     elapsed = time.time() - start
     save_results(results_dir, seq.name, np.asarray(boxes, np.float64),
                  np.asarray(times))
+    if save_vis:
+        _save_sequence_vis(save_vis, seq, boxes, load, vis_stride)
     return len(seq.frames), elapsed
 
 
 def run_dataset(tracker_factory: Callable[[], object], dataset: SequenceList,
                 results_dir: str, image_loader: Optional[Callable] = None,
-                rerun: bool = False, verbose: bool = True, chunk: int = 0):
+                rerun: bool = False, verbose: bool = True, chunk: int = 0,
+                save_vis: Optional[str] = None, vis_stride: int = 1):
     """Run a tracker over every sequence (resumable)."""
     tracker = tracker_factory()
     total_frames, total_time, done = 0, 0.0, 0
     for i, seq in enumerate(dataset):
         try:
             r = run_sequence(tracker, seq, results_dir, image_loader, rerun,
-                             chunk=chunk)
+                             chunk=chunk, save_vis=save_vis,
+                             vis_stride=vis_stride)
         except Exception as e:  # keep going like the reference harness
             print(f"[{seq.name}] ERROR: {e}")
             continue
