@@ -111,3 +111,31 @@ def test_track_many_mixed_resolution_keeps_frame_alignment(tracker):
 
     assert many.shape == (4, 5)
     np.testing.assert_allclose(many, seq, rtol=1e-5, atol=1e-4)
+
+
+def test_track_debug_matches_track_and_exposes_maps(tracker):
+    """track_debug shares the step math with track() (same _step_core); its
+    box/score must match a replayed track() bit for bit, and the response
+    maps must be (fsz, fsz) with merged = cls * hann * cont at the argmax."""
+    rng = np.random.default_rng(7)
+    first = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(3)]
+
+    tracker.initialize(first, {"init_bbox": [30.0, 20.0, 20.0, 24.0]})
+    dbg = [tracker.track_debug(f) for f in frames]
+
+    tracker.initialize(first, {"init_bbox": [30.0, 20.0, 20.0, 24.0]})
+    plain = [tracker.track(f) for f in frames]
+
+    fsz = tracker.jt.map_size
+    for d, p in zip(dbg, plain):
+        assert d["target_bbox"] == p["target_bbox"]
+        assert d["score"] == p["score"]
+        for key in ("cls_map", "cont_map", "merged_map"):
+            assert d[key].shape == (fsz, fsz)
+            assert np.isfinite(d[key]).all()
+        window = np.asarray(tracker.jt.window, np.float32).reshape(fsz, fsz)
+        np.testing.assert_allclose(
+            d["merged_map"], d["cls_map"] * window * d["cont_map"],
+            rtol=1e-5, atol=1e-6)

@@ -113,3 +113,48 @@ def test_run_sequence_save_vis_single_row_gt(tmp_path):
     run_sequence(_StubTracker(), seq, str(tmp_path / "res2"),
                  image_loader=np.load, prefetch=1, save_vis=vdir)
     assert len(os.listdir(os.path.join(vdir, "oneanno"))) == 3
+
+
+class _DebugStubTracker(_StubTracker):
+    def track_debug(self, image, info=None):
+        out = self.track(image)
+        m = np.zeros((6, 6), np.float32)
+        m[2, 3] = 1.0
+        out.update(cls_map=m, cont_map=m, merged_map=m)
+        return out
+
+
+def test_run_sequence_vis_response_maps(tmp_path):
+    frames = []
+    for i in range(5):
+        p = tmp_path / f"r{i}.npy"
+        np.save(p, np.zeros((30, 40, 3), np.uint8))
+        frames.append(str(p))
+    gt = np.tile(np.array([[2.0, 2.0, 8.0, 8.0]]), (5, 1))
+    seq = Sequence("rseq", frames, "otb99", gt)
+    vdir = str(tmp_path / "vis")
+    run_sequence(_DebugStubTracker(), seq, str(tmp_path / "res"),
+                 image_loader=np.load, prefetch=1, save_vis=vdir,
+                 vis_stride=2, vis_response=True)
+    files = sorted(os.listdir(os.path.join(vdir, "rseq")))
+    # overlays at frames 0,2,4 + response maps at tracked frames 2,4
+    assert files == ["0000.jpg", "0002.jpg", "0002_cls.png",
+                     "0002_merged.png", "0004.jpg", "0004_cls.png",
+                     "0004_merged.png"]
+
+
+def test_run_sequence_vis_response_requires_track_debug(tmp_path):
+    # a tracker without track_debug silently gets overlays only
+    frames = []
+    for i in range(3):
+        p = tmp_path / f"s{i}.npy"
+        np.save(p, np.zeros((30, 40, 3), np.uint8))
+        frames.append(str(p))
+    seq = Sequence("sseq", frames, "otb99",
+                   np.tile(np.array([[2.0, 2.0, 8.0, 8.0]]), (3, 1)))
+    vdir = str(tmp_path / "vis2")
+    run_sequence(_StubTracker(), seq, str(tmp_path / "res2"),
+                 image_loader=np.load, prefetch=1, save_vis=vdir,
+                 vis_response=True)
+    files = sorted(os.listdir(os.path.join(vdir, "sseq")))
+    assert files == ["0000.jpg", "0001.jpg", "0002.jpg"]

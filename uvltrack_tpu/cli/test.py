@@ -80,6 +80,10 @@ def main(argv=None):
                         "sequence under DIR (single-stream runner only)")
     p.add_argument("--vis_stride", type=int, default=1,
                    help="save every Nth overlay frame with --save_vis")
+    p.add_argument("--vis_response", action="store_true",
+                   help="with --save_vis: also dump cls/merged response-map "
+                        "heatmaps per frame (extra readback; debug-grade "
+                        "per-frame times)")
     args = p.parse_args(argv)
 
     from ..config import load_cfg
@@ -152,7 +156,8 @@ def main(argv=None):
     else:
         run_dataset(lambda: build_tracker(cfg, args.test_checkpoint), dataset,
                     results_dir, rerun=args.rerun, chunk=args.chunk,
-                    save_vis=args.save_vis, vis_stride=args.vis_stride)
+                    save_vis=args.save_vis, vis_stride=args.vis_stride,
+                    vis_response=args.vis_response)
     # server-evaluated splits (GOT-10k test, TrackingNet test) ship a
     # 1-row groundtruth.txt: scoring them locally forces pred[0]=anno[0]
     # and prints a bogus perfect 100 — point at the packagers instead

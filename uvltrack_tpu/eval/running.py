@@ -68,7 +68,8 @@ def _save_sequence_vis(vis_dir: str, seq: Sequence, boxes, load, stride: int):
 def run_sequence(tracker, seq: Sequence, results_dir: str,
                  image_loader: Optional[Callable] = None, rerun: bool = False,
                  prefetch: int = 8, chunk: int = 0,
-                 save_vis: Optional[str] = None, vis_stride: int = 1):
+                 save_vis: Optional[str] = None, vis_stride: int = 1,
+                 vis_response: bool = False):
     """Run one sequence; returns (n_frames, elapsed_s) or None if skipped.
 
     Frames are decoded by the native prefetcher `prefetch` frames ahead of
@@ -111,11 +112,30 @@ def run_sequence(tracker, seq: Sequence, results_dir: str,
             boxes.extend(packed[:, :4].tolist())
             times.extend([dt] * len(pending))
     else:
+        # response maps must be captured inside the loop; it costs an extra
+        # readback per frame, so the saved per-frame times are debug-grade
+        # when vis_response is on (the box math itself is unchanged)
+        debug_maps = (save_vis and vis_response
+                      and hasattr(tracker, "track_debug"))
+        resp = []
         for img in it:
             t0 = time.time()
-            out = tracker.track(img)
+            out = (tracker.track_debug(img) if debug_maps
+                   else tracker.track(img))
             times.append(time.time() - t0)
             boxes.append(out["target_bbox"])
+            if debug_maps and (len(boxes) - 1) % max(vis_stride, 1) == 0:
+                resp.append((len(boxes) - 1, out["cls_map"],
+                             out["merged_map"]))
+        if debug_maps:
+            from .visualize import save_response_map
+
+            for i, cls_map, merged in resp:
+                base = os.path.join(save_vis, seq.name)
+                save_response_map(os.path.join(base, f"{i:04d}_cls.png"),
+                                  cls_map)
+                save_response_map(os.path.join(base, f"{i:04d}_merged.png"),
+                                  merged)
     elapsed = time.time() - start
     save_results(results_dir, seq.name, np.asarray(boxes, np.float64),
                  np.asarray(times))
@@ -127,7 +147,8 @@ def run_sequence(tracker, seq: Sequence, results_dir: str,
 def run_dataset(tracker_factory: Callable[[], object], dataset: SequenceList,
                 results_dir: str, image_loader: Optional[Callable] = None,
                 rerun: bool = False, verbose: bool = True, chunk: int = 0,
-                save_vis: Optional[str] = None, vis_stride: int = 1):
+                save_vis: Optional[str] = None, vis_stride: int = 1,
+                vis_response: bool = False):
     """Run a tracker over every sequence (resumable)."""
     tracker = tracker_factory()
     total_frames, total_time, done = 0, 0.0, 0
@@ -135,7 +156,7 @@ def run_dataset(tracker_factory: Callable[[], object], dataset: SequenceList,
         try:
             r = run_sequence(tracker, seq, results_dir, image_loader, rerun,
                              chunk=chunk, save_vis=save_vis,
-                             vis_stride=vis_stride)
+                             vis_stride=vis_stride, vis_response=vis_response)
         except Exception as e:  # keep going like the reference harness
             print(f"[{seq.name}] ERROR: {e}")
             continue

@@ -69,6 +69,7 @@ class JitTracker:
         self._scan_cache = {}
         self._init_cache = {}
         self._ground_cache = {}
+        self._debug_cache = {}
 
     def text_fn(self):
         if self._text_fn is None:
@@ -124,10 +125,12 @@ class JitTracker:
         return self._init_cache[hw]
 
     # ------------------------------------------------------------------ step
-    def _step_core(self, hw):
+    def _step_core(self, hw, debug: bool = False):
         """Pure per-frame step: (variables, state, frame, consts...) ->
         (new_state, packed[x,y,w,h,score]). Shared by the single-frame jit
-        and the lax.scan chunk path."""
+        and the lax.scan chunk path. With debug=True additionally returns the
+        stacked (3, fsz*fsz) [cls, cont, merged] response maps — the maps the
+        reference's debug hook dumps (lib/test/tracker/uvltrack.py:155-157)."""
         h, w = hw
         sz = self.search_size
         fsz = self.map_size
@@ -204,7 +207,10 @@ class JitTracker:
                     best_vis_token=best_vis, best_txt_token=best_txt)
                 # box and score packed into one array: exactly one device->host
                 # transfer per tracked frame
-                return new_state, jnp.concatenate([new_box, score[None]])
+                packed = jnp.concatenate([new_box, score[None]])
+                if debug:
+                    return new_state, packed, jnp.stack([cls, cont, merged])
+                return new_state, packed
 
         return fn
 
@@ -212,6 +218,11 @@ class JitTracker:
         if hw not in self._step_cache:
             self._step_cache[hw] = jax.jit(self._step_core(hw))
         return self._step_cache[hw]
+
+    def step_fn_debug(self, hw):
+        if hw not in self._debug_cache:
+            self._debug_cache[hw] = jax.jit(self._step_core(hw, debug=True))
+        return self._debug_cache[hw]
 
     def scan_fn(self, hw, chunk: int):
         """One dispatch tracks `chunk` frames: lax.scan of the step over a
@@ -322,6 +333,24 @@ class Tracker:
     def track(self, image: np.ndarray, info: dict = None):
         packed = np.asarray(self.track_async(image), np.float64)
         return {"target_bbox": packed[:4].tolist(), "score": float(packed[4])}
+
+    def track_debug(self, image: np.ndarray, info: dict = None):
+        """track() plus the per-frame response maps the reference's debug
+        hook dumps (vis_info['cls_map'], lib/test/tracker/uvltrack.py:
+        155-157): raw cls, contrastive, and hann-windowed merged, each
+        (fsz, fsz). Adds a ~7 KB D2H per frame — the debug surface, not the
+        benchmark path; box/score math is shared with track() bit for bit."""
+        hw = image.shape[:2]
+        step = self.jt.step_fn_debug(hw)
+        self.state, packed, maps = step(
+            self.jt.variables, self.state, jnp.asarray(image), self.template,
+            self.template_mask, self.txt, self.text_mask, self.flag)
+        fsz = self.jt.map_size
+        maps = np.asarray(maps, np.float32).reshape(3, fsz, fsz)
+        packed = np.asarray(packed, np.float64)
+        return {"target_bbox": packed[:4].tolist(), "score": float(packed[4]),
+                "cls_map": maps[0], "cont_map": maps[1],
+                "merged_map": maps[2]}
 
     def track_async(self, image):
         """Advance the tracker one frame; return the packed (box, score) device
