@@ -1,0 +1,133 @@
+"""HTTP serving surface (cli/serve.py): streams share one compiled step.
+
+Beyond-parity capability — drives the REAL server (ThreadingHTTPServer +
+handler + Tracker) over loopback HTTP with the tiny real model.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from uvltrack_tpu.cli.serve import make_server
+from uvltrack_tpu.track.tracker import Tracker
+from test_model import tiny_model, tiny_inputs
+from test_tracker import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    proto = Tracker(tiny_cfg(), model, variables, tokenizer=None)
+    server = make_server(proto, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, server
+    server.shutdown()
+    server.server_close()
+
+
+def _post(url, route, payload):
+    req = urllib.request.Request(
+        url + route, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def _npy_b64(img):
+    buf = io.BytesIO()
+    np.save(buf, img)
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _jpeg_b64(img):
+    import cv2
+
+    ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    assert ok
+    return base64.b64encode(enc.tobytes()).decode()
+
+
+def test_two_streams_share_one_jit_tracker(server_url):
+    url, server = server_url
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+    for stream, box in (("a", [30, 20, 20, 24]), ("b", [10, 10, 30, 30])):
+        out = _post(url, "/initialize",
+                    {"stream": stream, "image": _npy_b64(img), "bbox": box,
+                     "format": "npy"})
+        assert out["bbox"] == [float(v) for v in box]
+    outs = {}
+    for stream in ("a", "b"):
+        for _ in range(2):
+            frame = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+            outs[stream] = _post(url, "/track",
+                                 {"stream": stream, "image": _npy_b64(frame),
+                                  "format": "npy"})
+    for o in outs.values():
+        assert len(o["bbox"]) == 4 and np.isfinite(o["bbox"]).all()
+        assert np.isfinite(o["score"])
+    # independent per-stream state...
+    assert outs["a"]["bbox"] != outs["b"]["bbox"]
+    # ...but exactly one JitTracker behind all streams (no per-stream retrace)
+    jts = {id(trk.jt) for trk in server.streams.values()}
+    assert len(jts) == 1
+
+    health = json.loads(urllib.request.urlopen(url + "/health",
+                                               timeout=60).read())
+    assert health["streams"] == 2
+
+    assert _post(url, "/close", {"stream": "a"})["closed"] is True
+    assert json.loads(urllib.request.urlopen(url + "/health",
+                                             timeout=60).read())["streams"] == 1
+
+
+def test_jpeg_roundtrip_tracks(server_url):
+    url, _ = server_url
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+    _post(url, "/initialize",
+          {"stream": "j", "image": _jpeg_b64(img), "bbox": [30, 20, 20, 24]})
+    out = _post(url, "/track", {"stream": "j", "image": _jpeg_b64(img)})
+    assert len(out["bbox"]) == 4 and np.isfinite(out["score"])
+
+
+def test_error_surfaces(server_url):
+    url, _ = server_url
+    img = np.zeros((40, 60, 3), np.uint8)
+    # track before initialize -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, "/track", {"stream": "ghost", "image": _npy_b64(img),
+                              "format": "npy"})
+    assert e.value.code == 404
+    # missing bbox in BBOX mode -> 400 (KeyError init_bbox inside tracker)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, "/initialize", {"stream": "x", "image": _npy_b64(img),
+                                   "format": "npy"})
+    assert e.value.code == 400
+    # undecodable jpeg bytes -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, "/initialize",
+              {"stream": "x", "image": base64.b64encode(b"junk").decode(),
+               "bbox": [1, 1, 5, 5]})
+    assert e.value.code == 400
+    # unknown route -> 404; bad JSON -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, "/nope", {})
+    assert e.value.code == 404
+    req = urllib.request.Request(url + "/track", data=b"{not json",
+                                 headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400

@@ -1,0 +1,183 @@
+"""HTTP tracking service: many concurrent streams, one compiled step.
+
+Beyond-parity (the reference has no serving story; its closest surface is
+the offline demo, demo.py). One process serves any number of independent
+tracking streams over HTTP. All streams share ONE JitTracker — the jitted
+per-frame step, the device-resident weights, and every trace cache — so
+opening a new stream costs per-sequence state init (template crop + text
+prefix), never a recompile.
+
+Protocol (JSON request bodies; responses are JSON):
+
+  GET  /health -> {"streams": N, "platform": "tpu"}
+  POST /initialize {"stream": "cam0", "image": <b64>, "bbox": [x,y,w,h]?,
+                    "language": "..."?, "format": "jpeg"|"npy"?}
+  POST /track      {"stream": "cam0", "image": <b64>} -> {"bbox": [...],
+                    "score": s}
+  POST /close      {"stream": "cam0"}
+
+`image` is base64: JPEG/PNG bytes (decoded BGR->RGB, default) or np.save
+bytes ("format": "npy", HxWx3 uint8 RGB — the zero-decode path for local
+producers). Which of bbox/language is required follows cfg.TEST.MODE,
+exactly like the offline tracker (BBOX needs bbox, NL needs language,
+NLBBOX needs both).
+
+Device work is serialized behind one lock (the step is sequential per
+stream anyway and a single chip runs one program at a time); HTTP I/O and
+image decode run in the handler threads, overlapping the device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _decode_image(payload: dict) -> np.ndarray:
+    raw = base64.b64decode(payload["image"])
+    if payload.get("format", "jpeg") == "npy":
+        img = np.load(io.BytesIO(raw), allow_pickle=False)
+    else:
+        import cv2
+
+        bgr = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError("undecodable image bytes")
+        img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError(f"expected HxWx3 uint8, got {img.shape} {img.dtype}")
+    return img
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "uvltrack_tpu"
+
+    def log_message(self, fmt, *args):  # quiet: the CLI prints its own line
+        if self.server.verbose:
+            super().log_message(fmt, *args)
+
+    def _reply(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path != "/health":
+            return self._reply(404, {"error": f"no route {self.path}"})
+        import jax
+
+        self._reply(200, {"streams": len(self.server.streams),
+                          "platform": jax.default_backend()})
+
+    def do_POST(self):
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError) as e:
+            return self._reply(400, {"error": f"bad JSON body: {e}"})
+        try:
+            if self.path == "/initialize":
+                return self._reply(200, self._initialize(payload))
+            if self.path == "/track":
+                return self._reply(200, self._track(payload))
+            if self.path == "/close":
+                return self._reply(200, self._close(payload))
+            return self._reply(404, {"error": f"no route {self.path}"})
+        except KeyError as e:
+            return self._reply(400, {"error": f"missing field {e}"})
+        except LookupError as e:
+            return self._reply(404, {"error": str(e)})
+        except (ValueError, TypeError) as e:
+            return self._reply(400, {"error": str(e)})
+
+    def _initialize(self, payload: dict) -> dict:
+        stream = payload["stream"]
+        image = _decode_image(payload)
+        info = {}
+        if "bbox" in payload:
+            info["init_bbox"] = [float(v) for v in payload["bbox"]]
+        if "language" in payload:
+            info["language"] = str(payload["language"])
+        srv = self.server
+        with srv.lock:
+            tracker = srv.streams.get(stream) or srv.make_tracker()
+            out = tracker.initialize(image, info)
+            srv.streams[stream] = tracker
+        return {"stream": stream, "bbox": list(out["target_bbox"])}
+
+    def _track(self, payload: dict) -> dict:
+        stream = payload["stream"]
+        image = _decode_image(payload)
+        srv = self.server
+        with srv.lock:
+            tracker = srv.streams.get(stream)
+            if tracker is None:
+                raise LookupError(f"stream {stream!r} not initialized")
+            out = tracker.track(image)
+        return {"stream": stream, "bbox": list(out["target_bbox"]),
+                "score": out["score"]}
+
+    def _close(self, payload: dict) -> dict:
+        stream = payload["stream"]
+        if self.server.streams.pop(stream, None) is None:
+            raise LookupError(f"stream {stream!r} not initialized")
+        return {"stream": stream, "closed": True}
+
+
+def make_server(proto_tracker, host: str = "127.0.0.1", port: int = 0,
+                verbose: bool = False) -> ThreadingHTTPServer:
+    """Wrap an existing Tracker as the prototype: every stream is a fresh
+    Tracker sharing the prototype's JitTracker (weights + compiled step)."""
+    from ..track.tracker import Tracker
+
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.streams = {}
+    server.lock = threading.Lock()
+    server.verbose = verbose
+    server.make_tracker = lambda: Tracker(
+        proto_tracker.cfg, proto_tracker.jt.model, proto_tracker.jt.variables,
+        tokenizer=proto_tracker.tokenizer, jit_tracker=proto_tracker.jt)
+    return server
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Serve tracking streams over HTTP")
+    p.add_argument("tracker_name", nargs="?", default="uvltrack")
+    p.add_argument("tracker_param", nargs="?", default="baseline_base")
+    p.add_argument("--test_checkpoint", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8712)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..config import load_cfg
+    from ..eval.environment import env_settings, experiment_cfg_path
+    from .test import build_tracker
+
+    settings = env_settings()
+    cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
+                                       args.tracker_param))
+    proto = build_tracker(cfg, args.test_checkpoint)
+    server = make_server(proto, args.host, args.port, verbose=args.verbose)
+    print(f"serving {args.tracker_param} ({cfg.TEST.MODE}) on "
+          f"http://{args.host}:{server.server_address[1]}  "
+          "(POST /initialize, /track, /close; GET /health)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

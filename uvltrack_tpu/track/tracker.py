@@ -251,9 +251,14 @@ class Tracker:
     """Reference-compatible API: initialize(image, info) / track(image)."""
 
     def __init__(self, cfg, model: UVLTrack, variables: dict,
-                 tokenizer=None):
+                 tokenizer=None, jit_tracker: Optional[JitTracker] = None):
         self.cfg = cfg
-        self.jt = JitTracker(model, variables, cfg)
+        # many concurrent streams (e.g. cli/serve.py) share ONE JitTracker:
+        # per-stream state lives on this Tracker, the compiled step + weights
+        # live on the shared jt — a new stream costs state init, not a
+        # retrace/recompile
+        self.jt = (jit_tracker if jit_tracker is not None
+                   else JitTracker(model, variables, cfg))
         self.tokenizer = tokenizer
         self.nt = int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN)
         self.embed_dim = model.backbone.embed_dim
