@@ -41,7 +41,9 @@ def _post(url, route, payload):
     req = urllib.request.Request(
         url + route, data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=120) as r:
+    # generous: the first lockstep /track compiles the batched step on the
+    # (often contended) 1-core sandbox CPU
+    with urllib.request.urlopen(req, timeout=300) as r:
         return json.loads(r.read())
 
 
@@ -131,3 +133,87 @@ def test_error_surfaces(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def lockstep_url():
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    proto = Tracker(tiny_cfg(), model, variables, tokenizer=None)
+    from uvltrack_tpu.cli.serve import make_server as mk
+
+    server = mk(proto, port=0, lockstep=2, batch_window=10.0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, server, (tiny_cfg(), model, variables)
+    server.dispatcher.stop()
+    server.shutdown()
+    server.server_close()
+
+
+def test_lockstep_coalesces_and_matches_standalone(lockstep_url):
+    url, server, (cfg, model, variables) = lockstep_url
+    rng = np.random.default_rng(5)
+    first = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+    frames = {"a": [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+                    for _ in range(3)],
+              "b": [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+                    for _ in range(3)]}
+    boxes0 = {"a": [30, 20, 20, 24], "b": [10, 10, 30, 30]}
+    for s in ("a", "b"):
+        _post(url, "/initialize", {"stream": s, "image": _npy_b64(first),
+                                   "bbox": boxes0[s], "format": "npy"})
+    health = json.loads(urllib.request.urlopen(url + "/health",
+                                               timeout=60).read())
+    assert health["mode"] == "lockstep" and health["streams"] == 2
+
+    # both streams post concurrently; the dispatcher coalesces each round
+    # into ONE pool.submit (batch_window=10s would stall a lone request, so
+    # passing fast proves the all-pending barrier fired, not the timeout)
+    results = {"a": [], "b": []}
+    for i in range(3):
+        errs = []
+
+        def go(s, i=i):
+            try:
+                results[s].append(_post(
+                    url, "/track", {"stream": s,
+                                    "image": _npy_b64(frames[s][i]),
+                                    "format": "npy"}))
+            except Exception as e:  # surface thread failures in the test
+                errs.append((s, e))
+
+        ts = [threading.Thread(target=go, args=(s,)) for s in ("a", "b")]
+        [t.start() for t in ts]
+        [t.join(timeout=600) for t in ts]
+        assert not errs, errs
+
+    for s in ("a", "b"):
+        t1 = Tracker(cfg, model, variables)
+        t1.initialize(first, {"init_bbox": list(boxes0[s])})
+        for got, f in zip(results[s], frames[s]):
+            want = t1.track(f)
+            np.testing.assert_allclose(got["bbox"], want["target_bbox"],
+                                       rtol=1e-5, atol=1e-4)
+
+    # close a: b alone now dispatches immediately (all-open-pending = {b})
+    _post(url, "/close", {"stream": "a"})
+    out = _post(url, "/track", {"stream": "b",
+                                "image": _npy_b64(frames["b"][0]),
+                                "format": "npy"})
+    assert np.isfinite(out["score"])
+    # pool full -> 503 (capacity 2: b + c occupy it)
+    _post(url, "/initialize", {"stream": "c", "image": _npy_b64(first),
+                               "bbox": [5, 5, 10, 10], "format": "npy"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, "/initialize", {"stream": "d", "image": _npy_b64(first),
+                                   "bbox": [5, 5, 10, 10], "format": "npy"})
+    assert e.value.code == 503
+    # /track on a closed stream -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, "/track", {"stream": "a", "image": _npy_b64(first),
+                              "format": "npy"})
+    assert e.value.code == 404
