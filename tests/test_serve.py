@@ -89,6 +89,14 @@ def test_two_streams_share_one_jit_tracker(server_url):
     health = json.loads(urllib.request.urlopen(url + "/health",
                                                timeout=60).read())
     assert health["streams"] == 2
+    assert health["mode"] == "per-stream"
+
+    stats = json.loads(urllib.request.urlopen(url + "/stats",
+                                              timeout=60).read())["streams"]
+    for s in ("a", "b"):
+        assert stats[s]["frames"] == 2
+        assert stats[s]["fps"] > 0
+        assert np.isfinite(stats[s]["last_score"])
 
     assert _post(url, "/close", {"stream": "a"})["closed"] is True
     assert json.loads(urllib.request.urlopen(url + "/health",

@@ -163,11 +163,18 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
+        srv = self.server
+        if self.path == "/stats":
+            with srv.lock:
+                stats = {s: dict(c) for s, c in srv.counters.items()}
+            for c in stats.values():
+                if c["frames"]:
+                    c["fps"] = round(c["frames"] / max(c["seconds"], 1e-9), 2)
+            return self._reply(200, {"streams": stats})
         if self.path != "/health":
             return self._reply(404, {"error": f"no route {self.path}"})
         import jax
 
-        srv = self.server
         n = (len(srv.pool.slot_of) if srv.pool is not None
              else len(srv.streams))
         self._reply(200, {"streams": n,
@@ -222,16 +229,25 @@ class _Handler(BaseHTTPRequestHandler):
         stream = payload["stream"]
         image = _decode_image(payload)
         srv = self.server
+        t0 = time.perf_counter()
         if srv.pool is not None:
             out = srv.dispatcher.track(stream, image)
-            return {"stream": stream, **out}
+            result = {"stream": stream, **out}
+        else:
+            with srv.lock:
+                tracker = srv.streams.get(stream)
+                if tracker is None:
+                    raise LookupError(f"stream {stream!r} not initialized")
+                out = tracker.track(image)
+            result = {"stream": stream, "bbox": list(out["target_bbox"]),
+                      "score": out["score"]}
         with srv.lock:
-            tracker = srv.streams.get(stream)
-            if tracker is None:
-                raise LookupError(f"stream {stream!r} not initialized")
-            out = tracker.track(image)
-        return {"stream": stream, "bbox": list(out["target_bbox"]),
-                "score": out["score"]}
+            c = srv.counters.setdefault(
+                stream, {"frames": 0, "seconds": 0.0, "last_score": None})
+            c["frames"] += 1
+            c["seconds"] += time.perf_counter() - t0
+            c["last_score"] = result["score"]
+        return result
 
     def _close(self, payload: dict) -> dict:
         stream = payload["stream"]
@@ -257,6 +273,7 @@ def make_server(proto_tracker, host: str = "127.0.0.1", port: int = 0,
 
     server = ThreadingHTTPServer((host, port), _Handler)
     server.streams = {}
+    server.counters = {}  # /stats: per-stream frames/seconds/last_score
     server.lock = threading.Lock()
     server.verbose = verbose
     server.pool = None
