@@ -98,3 +98,33 @@ def test_pool_full_unknown_and_mixed_resolution(built):
     pool2.open("B", g[0], {"init_bbox": [5, 5, 20, 20]})
     with pytest.raises(ValueError, match="one resolution"):
         pool2.submit({"A": f[0], "B": g[0]})
+
+
+def test_nl_mode_open_grounds_like_single_tracker():
+    """NL-mode open(): the slot's initial box comes from the grounding
+    forward (a supplied bbox must be ignored), matching Tracker's NL init —
+    incl. the portrait letterbox offset branch."""
+    cfg = tiny_cfg()
+    cfg.TEST.MODE = "NL"
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    frame = rng.integers(0, 255, size=(96, 64, 3)).astype(np.uint8)
+
+    pool = StreamPool(cfg, model, variables, capacity=2)
+    got = pool.open("A", frame, {"language": "a thing",
+                                 "init_bbox": [1, 1, 2, 2]})  # ignored
+
+    single = Tracker(cfg, model, variables)
+    want = single.initialize(frame, {"language": "a thing"})["target_bbox"]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    assert not np.allclose(got, [1, 1, 2, 2])
+
+    # and the tracked trajectory after a grounded init matches too
+    nxt = rng.integers(0, 255, size=(96, 64, 3)).astype(np.uint8)
+    out = pool.submit({"A": nxt})["A"]
+    want2 = single.track(nxt)
+    np.testing.assert_allclose(out["bbox"], want2["target_bbox"],
+                               rtol=1e-5, atol=1e-4)
