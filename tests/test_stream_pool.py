@@ -128,3 +128,49 @@ def test_nl_mode_open_grounds_like_single_tracker():
     want2 = single.track(nxt)
     np.testing.assert_allclose(out["bbox"], want2["target_bbox"],
                                rtol=1e-5, atol=1e-4)
+
+
+def test_pool_sharded_over_mesh_matches_unsharded():
+    """mesh mode: slots shard over the 8-device virtual "data" axis
+    (capacity 5 -> padded device arrays of 8); dynamic joins, a frozen
+    round, and a slot reuse must reproduce the unsharded pool exactly."""
+    from uvltrack_tpu.parallel.mesh import make_mesh
+
+    cfg, model, _ = None, None, None
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    cfg = tiny_cfg()
+    mesh = make_mesh(data=8, model=1)
+    pm = StreamPool(cfg, model, variables, capacity=5, mesh=mesh)
+    p1 = StreamPool(cfg, model, variables, capacity=5)
+    assert pm.bt.S_pad == 8
+
+    f = {s: _frames(ord(s), 3) for s in "abc"}
+    boxes = {"a": [30, 20, 20, 24], "b": [10, 10, 30, 30],
+             "c": [40, 30, 25, 20]}
+    for pool in (pm, p1):
+        pool.open("a", f["a"][0], {"init_bbox": boxes["a"]})
+        pool.open("b", f["b"][0], {"init_bbox": boxes["b"]})
+    # state is actually sharded over the mesh
+    assert not pm.bt.state.box.sharding.is_fully_replicated
+    assert "data" in str(pm.bt.state.box.sharding.spec)
+
+    out_m = pm.submit({"a": f["a"][1], "b": f["b"][1]})
+    out_1 = p1.submit({"a": f["a"][1], "b": f["b"][1]})
+    for s in ("a", "b"):
+        np.testing.assert_allclose(out_m[s]["bbox"], out_1[s]["bbox"],
+                                   rtol=1e-5, atol=1e-4)
+    # frozen round for a, then slot churn
+    for pool in (pm, p1):
+        pool.submit({"b": f["b"][2]})
+        pool.close("a")
+        pool.open("c", f["c"][0], {"init_bbox": boxes["c"]})
+    out_m = pm.submit({"c": f["c"][1], "b": f["b"][1]})
+    out_1 = p1.submit({"c": f["c"][1], "b": f["b"][1]})
+    for s in ("c", "b"):
+        np.testing.assert_allclose(out_m[s]["bbox"], out_1[s]["bbox"],
+                                   rtol=1e-5, atol=1e-4)
+    # sharding survived the row writes
+    assert "data" in str(pm.bt.state.box.sharding.spec)

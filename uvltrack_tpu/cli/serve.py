@@ -263,7 +263,7 @@ class _Handler(BaseHTTPRequestHandler):
 
 def make_server(proto_tracker, host: str = "127.0.0.1", port: int = 0,
                 verbose: bool = False, lockstep: int = 0,
-                batch_window: float = 0.05) -> ThreadingHTTPServer:
+                batch_window: float = 0.05, mesh=None) -> ThreadingHTTPServer:
     """Wrap an existing Tracker as the prototype. Default mode: every stream
     is a fresh Tracker sharing the prototype's JitTracker (weights +
     compiled step). lockstep>0: a StreamPool of that many slots + a
@@ -284,7 +284,7 @@ def make_server(proto_tracker, host: str = "127.0.0.1", port: int = 0,
         server.pool = StreamPool(
             proto_tracker.cfg, proto_tracker.jt.model,
             proto_tracker.jt.variables, lockstep,
-            tokenizer=proto_tracker.tokenizer)
+            tokenizer=proto_tracker.tokenizer, mesh=mesh)
         server.dispatcher = _LockstepDispatcher(server.pool, server.lock,
                                                 batch_window)
     server.make_tracker = lambda: Tracker(
@@ -306,6 +306,9 @@ def main(argv=None):
     p.add_argument("--batch_window", type=float, default=0.05,
                    help="lockstep: max seconds to wait for stragglers "
                         "before dispatching a partial round")
+    p.add_argument("--multichip", action="store_true",
+                   help="with --lockstep: shard the pool slots over all "
+                        "local chips (mesh data axis)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -317,9 +320,16 @@ def main(argv=None):
     cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
                                        args.tracker_param))
     proto = build_tracker(cfg, args.test_checkpoint)
+    mesh = None
+    if args.multichip:
+        if not args.lockstep:
+            p.error("--multichip requires --lockstep")
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=-1, model=1)
     server = make_server(proto, args.host, args.port, verbose=args.verbose,
                          lockstep=args.lockstep,
-                         batch_window=args.batch_window)
+                         batch_window=args.batch_window, mesh=mesh)
     mode = (f"lockstep x{args.lockstep}" if args.lockstep else "per-stream")
     print(f"serving {args.tracker_param} ({cfg.TEST.MODE}, {mode}) on "
           f"http://{args.host}:{server.server_address[1]}  "

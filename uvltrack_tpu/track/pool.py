@@ -49,11 +49,17 @@ def _write_rows(arrs, rows, i):
 class StreamPool:
     """Continuous-batching pool over one BatchTracker."""
 
-    def __init__(self, cfg, model, variables, capacity: int, tokenizer=None):
+    def __init__(self, cfg, model, variables, capacity: int, tokenizer=None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — slots shard over its "data"
+        axis exactly like BatchTracker's eval mode (weights replicated,
+        every per-slot array split on the slot axis), so one pool serves
+        all local chips. Capacity is padded up to the axis size internally;
+        pad slots stay permanently free/frozen."""
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.bt = BatchTracker(cfg, model, variables, capacity,
-                               tokenizer=tokenizer)
+                               tokenizer=tokenizer, mesh=mesh)
         bt = self.bt
         self.capacity = capacity
         self.slot_of: Dict[str, int] = {}
@@ -61,7 +67,7 @@ class StreamPool:
         s = (bt.search_size // 16) ** 2
         z = (bt.template_size // 16) ** 2
         c = bt.embed_dim
-        S = capacity
+        S = bt.S_pad  # device arrays sized for mesh divisibility
         # bootstrap the batched device arrays BatchTracker.initialize would
         # have built — zeros, every slot free; text features typed by running
         # the real encoder on zero ids so dtype/shape always match row writes
@@ -87,6 +93,22 @@ class StreamPool:
             best_vis_token=jnp.zeros((S, 1, c), jnp.float32),
             best_txt_token=jnp.zeros((S, 1, c), jnp.float32),
         )
+        self._reshard()
+
+    def _reshard(self) -> None:
+        """Pin the slot-axis sharding on every batched array (mesh mode).
+        device_put on an already-correctly-sharded array is a no-op; after a
+        row write it moves only what the update displaced (device-to-device
+        over ICI, never through the host)."""
+        bt = self.bt
+        if bt.mesh is None:
+            return
+        put = lambda x: jax.device_put(x, bt._stream(x.ndim))
+        bt.text_ids, bt.text_mask, bt.flags = map(
+            put, (bt.text_ids, bt.text_mask, bt.flags))
+        bt.template, bt.template_mask, bt.txt = map(
+            put, (bt.template, bt.template_mask, bt.txt))
+        bt.state = jax.tree_util.tree_map(put, bt.state)
 
     # ------------------------------------------------------------ lifecycle
     def open(self, stream: str, frame: np.ndarray, info: dict) -> list:
@@ -155,6 +177,7 @@ class StreamPool:
             box=box_a, prompt=prompt_a, max_score=max_a, frame_id=fid_a,
             best_box_net=bbn_a, best_search=bs_a, best_template=btm_a,
             best_vis_token=bv_a, best_txt_token=btx_a)
+        self._reshard()  # row writes must not silently drop the slot sharding
         self.slot_of[stream] = i
         return box
 
