@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import (attention_ln_qkv_core, key_padding_bias,
-                             ln_mlp_core)
+from ..ops.attention import (attention_block_core, attention_ln_qkv_core,
+                             attn_proj_core, key_padding_bias, ln_mlp_core)
 
 
 class _MlpParams(nn.Module):
@@ -139,18 +139,31 @@ class VitBlock(nn.Module):
         b, n, c = x.shape
         h, d = self.num_heads, self.dim // self.num_heads
 
-        # norm1 + qkv live as raw params (same tree names as
+        # norm1 + qkv + proj live as raw params (same tree names as
         # nn.LayerNorm/nn.Dense) so the whole pre-LN -> qkv -> attention
-        # prefix can run as ONE pallas program on TPU; the XLA fallback in
-        # attention_ln_qkv_core composes identical math
+        # [-> proj -> +x] chain can run as ONE pallas program on TPU; the
+        # XLA fallbacks in ops/attention.py compose identical math
         ln_scale, ln_bias = _LnParams(self.dim, name="norm1")()
         w_qkv, b_qkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        w_proj, b_proj = _DenseParams(self.dim, self.dim, name="proj")()
         bias = key_padding_bias(key_masked) if key_masked is not None else None
-        attn = attention_ln_qkv_core(x, ln_scale, ln_bias, w_qkv, b_qkv, h,
-                                     bias, compute_dtype=self.dtype)
-        attn = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=nn.initializers.xavier_uniform(), name="proj")(attn)
-        x = x + self._drop_path(self._layer_scale(attn, 'ls1_gamma'), deterministic)
+        if self.init_values is None and (self.drop_path <= 0.0
+                                         or deterministic):
+            # plain residual branch (the shipped configs at inference, and
+            # training with drop_path 0): proj + residual are fusable into
+            # the kernel epilogue (attention_block_core dispatches)
+            x = attention_block_core(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                     w_proj, b_proj, h, bias,
+                                     compute_dtype=self.dtype)
+        else:
+            # LayerScale/DropPath need the pre-residual branch value
+            attn = attention_ln_qkv_core(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                         h, bias, compute_dtype=self.dtype)
+            attn = attn_proj_core(attn, w_proj, b_proj,
+                                  compute_dtype=self.dtype)
+            x = x + self._drop_path(
+                self._layer_scale(attn.astype(x.dtype), 'ls1_gamma'),
+                deterministic)
 
         # norm2 + MLP as raw params for the same reason: on TPU the whole
         # LN -> fc1 -> gelu -> fc2 suffix is one pallas program (ViT-B

@@ -133,6 +133,67 @@ def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
     return attention_qkv_core(qkv, heads, bias)
 
 
+def attn_proj_core(attn: jnp.ndarray, w_proj, b_proj,
+                   compute_dtype=None) -> jnp.ndarray:
+    """Attention output projection from raw params (same math as the
+    nn.Dense it replaced: compute-dtype matmul with fp32 accumulation +
+    bias). Shared with the fused kernel's epilogue/backward so the two
+    paths cannot drift."""
+    compute_dtype = compute_dtype or attn.dtype
+    from . import pallas_attention as pa
+
+    return pa._xla_proj(attn, w_proj.astype(compute_dtype), b_proj)
+
+
+def attention_block_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
+                         w_proj, b_proj, heads: int,
+                         bias: jnp.ndarray | None = None,
+                         compute_dtype=None, eps: float = 1e-6) -> jnp.ndarray:
+    """Whole-attention-branch entry: returns x + proj(attn(qkv(LN(x)))) —
+    the full first half of VitBlock when the residual branch carries no
+    LayerScale/DropPath (the shipped configs; vit.py falls back to the
+    composed path otherwise).
+
+    On the Pallas backend with UVLTRACK_FUSED_PROJ=1 this runs as ONE
+    kernel (fused_ln_qkv_attn_proj): the (N, C) pre-proj attention output
+    never round-trips HBM and the residual add rides in the epilogue.
+    Default is the measured prefix kernel + composed proj (flip the default
+    only on a measured end-to-end win — scripts/bench_fused_proj_ab.py)."""
+    compute_dtype = compute_dtype or x.dtype
+    from . import pallas_attention as pa
+
+    b, n, c = x.shape
+    key_bias = None
+    if bias is None:
+        key_bias = jnp.zeros((b, n), jnp.float32)
+    elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+        key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+    if (_BACKEND == "pallas" and key_bias is not None and pa._HAS_PALLAS
+            and pa._on_tpu() and n >= pa.min_seq_len()):
+        import os
+
+        # VMEM budget: qkv+proj weights at compute width + the fp32
+        # (N, 3C) qkv transient + one (N, N) score + two (N, C) fp32
+        # buffers; the grounding geometry (N=681, ViT-B) exceeds it and
+        # falls back to the prefix kernel below
+        wbytes = jnp.dtype(compute_dtype).itemsize
+        vmem_est = (4 * c * c * wbytes + n * 3 * c * 4 + n * n * 4
+                    + 2 * n * c * 4)
+        if (os.environ.get("UVLTRACK_FUSED_PROJ", "0") == "1"
+                and os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1"
+                and vmem_est < 13 * 1024 * 1024):
+            return pa.ln_qkv_attn_proj_trainable(
+                heads, eps, x, ln_scale, ln_bias,
+                w_qkv.astype(compute_dtype), b_qkv,
+                w_proj.astype(compute_dtype), b_proj, key_bias)
+    # composed: prefix core (fused kernel / qkv kernel / XLA per its own
+    # gates) + shared proj math + residual
+    attn = attention_ln_qkv_core(x, ln_scale, ln_bias, w_qkv, b_qkv, heads,
+                                 bias, compute_dtype=compute_dtype, eps=eps)
+    return x + attn_proj_core(attn, w_proj, b_proj,
+                              compute_dtype=compute_dtype).astype(x.dtype)
+
+
 def ln_mlp_core(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
                 compute_dtype=None, eps: float = 1e-6) -> jnp.ndarray:
     """Block-suffix MLP entry: pre-LN LayerNorm + fc1 + exact gelu + fc2

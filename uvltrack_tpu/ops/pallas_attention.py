@@ -287,6 +287,139 @@ ln_qkv_attention_trainable.defvjp(_ln_qkv_attention_fwd,
                                   _ln_qkv_attention_bwd)
 
 
+def _ln_qkv_attn_proj_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, wp_ref,
+                             bp_ref, bias_ref, o_ref, *, scale: float,
+                             heads: int, head_dim: int, eps: float):
+    """Full attention-branch fusion: the prologue of _ln_qkv_attn_kernel
+    (fp32 LayerNorm + fused qkv matmul) plus an EPILOGUE — the output
+    projection (w_proj resident in VMEM, ~1.2 MB bf16 at ViT-B width on top
+    of the 3.4 MB qkv weight) and the residual add — so VitBlock's whole
+    norm1 -> qkv -> attention -> proj -> (+x) chain is ONE program and the
+    (N, C) pre-proj attention output never round-trips HBM. Valid only when
+    the residual branch has no LayerScale/DropPath (the shipped configs;
+    vit.py falls back otherwise)."""
+    hd = heads * head_dim
+    x_orig = x_ref[0]  # (N, C), residual operand in the stream dtype
+    x = x_orig.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean,
+                      0.0)  # clamp like flax LayerNorm (see _ln_qkv_attn_kernel)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    qkv = jax.lax.dot_general(
+        y.astype(w_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    qkv = (qkv + wb_ref[...].astype(jnp.float32)).astype(w_ref.dtype)
+    bias = bias_ref[0].astype(jnp.float32)  # (1, N)
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, hd + h * head_dim:hd + (h + 1) * head_dim]
+        v = qkv[:, 2 * hd + h * head_dim:2 * hd + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT) * scale
+        e = jnp.exp(jnp.clip(s + bias, -_CLAMP, _CLAMP))
+        o = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        o = o * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
+        # cast per head like the non-proj kernels cast on o_ref write, so
+        # the epilogue matmul sees the same bf16 attention output the
+        # composed path's proj Dense would read from HBM
+        outs.append(o.astype(wp_ref.dtype))
+    o_all = jnp.concatenate(outs, axis=-1)  # (N, H*D)
+    proj = jax.lax.dot_general(
+        o_all, wp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    proj = (proj + bp_ref[...].astype(jnp.float32)).astype(x_orig.dtype)
+    o_ref[0] = x_orig + proj  # residual add in the stream dtype
+
+
+def fused_ln_qkv_attn_proj(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj,
+                           b_proj, key_bias, heads: int, eps: float = 1e-6,
+                           interpret: bool = False):
+    """x: (B, N, C) residual stream; w_qkv: (C, 3C); w_proj: (C, C) (bf16
+    recommended); key_bias: (B, N) fp32 additive. Returns (B, N, C)
+    POST-residual: x + proj(attention(qkv(LN(x)))), dtype of x."""
+    interpret = interpret or _FORCE_INTERPRET
+    b, n, c = x.shape
+    d = c // heads
+    key_bias = key_bias[:, None, :]
+    spec_x = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_vec = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_wb = pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_wp = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_bias = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_attn_proj_kernel, scale=d ** -0.5,
+                          heads=heads, head_dim=d, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid=(b,),
+        in_specs=[spec_x, spec_vec, spec_vec, spec_w, spec_wb, spec_wp,
+                  spec_vec, spec_bias],
+        out_specs=spec_x,
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, key_bias)
+
+
+def _xla_proj(attn, w_proj, b_proj):
+    """Output-projection twin (fp32-accumulated matmul + fp32 bias add,
+    result in w_proj's dtype) — THE one copy of the proj math, shared by
+    the fused kernel's backward recompute, the composed fallback in
+    ops/attention.attn_proj_core and the CPU/parity path."""
+    o = jnp.dot(attn.astype(w_proj.dtype), w_proj,
+                preferred_element_type=jnp.float32)
+    return (o + b_proj.astype(jnp.float32)).astype(w_proj.dtype)
+
+
+def _xla_ln_qkv_attn_proj(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj,
+                          b_proj, key_bias, heads: int, eps: float = 1e-6,
+                          clamp: bool = False):
+    """Pure-XLA math of fused_ln_qkv_attn_proj (incl. the residual add);
+    backward recompute target and the CPU/parity reference."""
+    attn = _xla_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                 key_bias, heads, eps=eps, clamp=clamp)
+    proj = _xla_proj(attn, w_proj, b_proj)
+    return x + proj.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def ln_qkv_attn_proj_trainable(heads: int, eps: float, x, ln_scale, ln_bias,
+                               w_qkv, b_qkv, w_proj, b_proj, key_bias):
+    """Kernel forward, XLA-recompute backward (pattern of
+    ln_qkv_attention_trainable), over the whole LN+qkv+attn+proj+residual
+    chain."""
+    return fused_ln_qkv_attn_proj(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                  w_proj, b_proj, key_bias, heads, eps=eps)
+
+
+def _ln_qkv_attn_proj_fwd(heads, eps, x, ln_scale, ln_bias, w_qkv, b_qkv,
+                          w_proj, b_proj, key_bias):
+    out = fused_ln_qkv_attn_proj(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj,
+                                 b_proj, key_bias, heads, eps=eps)
+    return out, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj,
+                 key_bias)
+
+
+def _ln_qkv_attn_proj_bwd(heads, eps, res, g):
+    x = res[0]
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ln_qkv_attn_proj(*a, heads=heads, eps=eps,
+                                         clamp=True), *res)
+    return vjp(g.astype(x.dtype))
+
+
+ln_qkv_attn_proj_trainable.defvjp(_ln_qkv_attn_proj_fwd,
+                                  _ln_qkv_attn_proj_bwd)
+
+
 def _ln_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    o_ref, *, eps: float):
     """MLP-half fusion: fp32 LayerNorm + fc1 + exact gelu + fc2 in one
