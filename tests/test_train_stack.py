@@ -162,6 +162,47 @@ def test_checkpoint_retention(tmp_path):
     assert epoch == 11 and np.allclose(state["x"], 1.0)
 
 
+def test_checkpoint_async_save_roundtrip_and_join(tmp_path):
+    """save_async: the write happens off-thread; epochs()/restore join the
+    in-flight save so the checkpoint is always visible through the manager
+    API; retention GC still applies; mutating the live state after
+    save_async must not corrupt the snapshot (device_get happened at call
+    time)."""
+    mgr = CheckpointManager(str(tmp_path / "c"), keep_last=2, keep_every=100)
+    live = {"x": np.ones((4,), np.float32)}
+    mgr.save_async(1, live, {"note": "ep1"})
+    live["x"][:] = -7.0  # post-call mutation: snapshot must hold 1.0
+    # implicit join: epochs() waits for the background write
+    assert mgr.epochs() == [1]
+    state, extra, epoch = mgr.restore({"x": np.zeros((4,), np.float32)})
+    assert epoch == 1 and extra["note"] == "ep1"
+    assert np.allclose(state["x"], 1.0)
+    # back-to-back async saves serialize (one in flight) and GC keeps last 2
+    for e in range(2, 6):
+        mgr.save_async(e, {"x": np.full((4,), float(e), np.float32)})
+    assert mgr.epochs() == [4, 5]
+    state, _, epoch = mgr.restore({"x": np.zeros((4,), np.float32)})
+    assert epoch == 5 and np.allclose(state["x"], 5.0)
+
+
+def test_checkpoint_async_save_error_surfaces_at_wait(tmp_path):
+    """A failed background write (deleted directory) must raise at the next
+    wait()/epochs(), not vanish — a silently-lost checkpoint would defeat
+    the fail-safe restart contract."""
+    import shutil
+
+    d = tmp_path / "gone"
+    mgr = CheckpointManager(str(d))
+    mgr.wait()  # no-op when nothing is in flight
+    # block the atomic rename by removing the directory out from under it
+    big = {"x": np.zeros((1 << 20,), np.float32)}  # big enough to lose the race
+    shutil.rmtree(str(d))
+    mgr.save_async(1, big)
+    with pytest.raises((OSError, FileNotFoundError)):
+        mgr.wait()
+    mgr.wait()  # the error is consumed, manager stays usable
+
+
 def test_zero1_shards_optimizer_moments_and_matches_replicated(setup):
     """ZeRO-1 (cfg.TPU.ZERO1): Adam moments shard over the 8-device "data"
     axis while params stay replicated; one step must produce the same

@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import threading
 from typing import Any, Optional, Tuple
 
 import jax
@@ -26,11 +27,59 @@ class CheckpointManager:
         self.keep_last = keep_last
         self.keep_every = keep_every
         os.makedirs(self.directory, exist_ok=True)
+        self._inflight: Optional[threading.Thread] = None
+        self._inflight_error: Optional[BaseException] = None
 
     def _path(self, epoch: int) -> str:
         return os.path.join(self.directory, f"ep{epoch:04d}.msgpack")
 
+    def wait(self) -> None:
+        """Join an in-flight async save (no-op when none). Re-raises any
+        error the background write hit — a silently-lost checkpoint would
+        defeat the fail-safe restart contract."""
+        t = self._inflight
+        if t is not None:
+            if t is threading.current_thread():
+                return  # _gc -> epochs() from inside the save worker itself
+            t.join()
+            self._inflight = None
+            if self._inflight_error is not None:
+                err, self._inflight_error = self._inflight_error, None
+                raise err
+
+    def save_async(self, epoch: int, state: Any,
+                   extra: Optional[dict] = None) -> str:
+        """Non-blocking save: the device->host snapshot happens HERE,
+        synchronously — the caller's train step may donate/overwrite the
+        state buffers right after this returns — and msgpack serialization
+        + the atomic write + retention GC run in a background thread,
+        overlapping the next epoch's compute. At most one save is in
+        flight; a second call joins the first. Durability point is wait()
+        (restore/epochs/has_checkpoint join implicitly)."""
+        self.wait()
+        host_state = serialization.to_state_dict(jax.device_get(state))
+        payload = {"state": host_state, "extra": extra or {}, "epoch": epoch}
+        path = self._path(epoch)
+
+        def _work():
+            try:
+                data = serialization.msgpack_serialize(payload)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.rename(tmp, path)  # atomic
+                self._gc()
+            except BaseException as e:  # surfaced by the next wait()
+                self._inflight_error = e
+
+        t = threading.Thread(target=_work, name=f"ckpt-save-ep{epoch}",
+                             daemon=True)
+        t.start()
+        self._inflight = t
+        return path
+
     def epochs(self):
+        self.wait()
         out = []
         for p in glob.glob(os.path.join(self.directory, "ep*.msgpack")):
             m = re.match(r"ep(\d+)\.msgpack$", os.path.basename(p))
@@ -67,6 +116,7 @@ class CheckpointManager:
     def restore(self, state_template: Any, epoch: Optional[int] = None,
                 path: Optional[str] = None) -> Tuple[Any, dict, int]:
         """Restore (state, extra, epoch). epoch=None -> latest."""
+        self.wait()
         if path is None:
             eps = self.epochs()
             if not eps:
@@ -80,6 +130,7 @@ class CheckpointManager:
 
     def restore_raw(self, path: Optional[str] = None) -> Tuple[dict, dict, int]:
         """Restore without a template: returns the plain nested-dict state."""
+        self.wait()
         if path is None:
             eps = self.epochs()
             if not eps:

@@ -173,8 +173,12 @@ class Trainer:
                 val_stats = self.validate() if (val_interval > 0 and self.epoch % val_interval == 0) else {}
                 host_state = self._state_for_save()
                 if self.is_main:
-                    self.ckpt.save(self.epoch, host_state,
-                                   {"train": train_stats, "val": val_stats})
+                    # async: the host snapshot already happened (above /
+                    # inside save_async); msgpack + disk write overlap the
+                    # next epoch. wait() below makes the tail durable.
+                    self.ckpt.save_async(self.epoch, host_state,
+                                         {"train": train_stats,
+                                          "val": val_stats})
                 self._log_metrics({"epoch": self.epoch, "train": train_stats,
                                    "val": val_stats, "time": time.time()})
                 retries = 0
@@ -200,4 +204,5 @@ class Trainer:
                     self._log("donated state invalidated and no checkpoint "
                               "exists; re-raising the original error")
                     raise
+        self.ckpt.wait()  # final epoch's async save is durable on return
         return self.state
