@@ -546,6 +546,46 @@ def test_fused_prefix_zero_reverts_to_qkv_kernel(monkeypatch):
     assert not np.allclose(np.asarray(out2), np.asarray(out), atol=1e-4)
 
 
+def test_fused_vmem_cap_falls_back_to_qkv_kernel(monkeypatch):
+    """Geometries whose VMEM estimate exceeds UVLTRACK_FUSED_VMEM_MB must
+    fall through to the qkv-native kernel (step 3), not attempt a fused
+    program that might not compile (ViT-H-class widths)."""
+    from uvltrack_tpu.ops import attention as att
+    from uvltrack_tpu.ops import pallas_attention as pa
+
+    b, n, h, c = 1, 160, 2, 16
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(c,)) * 0.1 + 1.0, jnp.float32)
+    be = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(c, 3 * c)) / 4.0, jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(3 * c,)) * 0.02, jnp.float32)
+    bias = jnp.zeros((b, 1, 1, n), jnp.float32)
+
+    calls = {"qkv": 0, "fused": 0}
+    real_qkv = pa._qkv_attention_trainable
+    real_fused = pa.ln_qkv_attention_trainable
+    monkeypatch.setattr(pa, "_qkv_attention_trainable",
+                        lambda *a: (calls.__setitem__("qkv", calls["qkv"] + 1),
+                                    real_qkv(*a))[1])
+    monkeypatch.setattr(pa, "ln_qkv_attention_trainable",
+                        lambda *a: (calls.__setitem__("fused", calls["fused"] + 1),
+                                    real_fused(*a))[1])
+    monkeypatch.setattr(pa, "_on_tpu", lambda: True)
+    monkeypatch.setattr(pa, "_FORCE_INTERPRET", True)
+    monkeypatch.setenv("UVLTRACK_FUSED_VMEM_MB", "0")  # force over-cap
+    att.set_backend("pallas")
+    try:
+        out = att.attention_ln_qkv_core(x, g, be, w, wb, h, bias)
+    finally:
+        att.set_backend("xla")
+    assert calls["qkv"] == 1 and calls["fused"] == 0
+    ref = pa._xla_ln_qkv_attention(x, g, be, w, wb,
+                                   jnp.zeros((b, n), jnp.float32), h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
 def test_generic_bias_path_matches_key_padding_numerics():
     """A non-key-padding bias shape must go through the SAME shared LN+qkv
     math (fp32-accumulated matmul, fp32 bias add) as the key-padding path —

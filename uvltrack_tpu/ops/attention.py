@@ -108,7 +108,21 @@ def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
             and pa._on_tpu() and n >= pa.min_seq_len()):
         import os
 
-        if os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1":
+        # VMEM *estimate* for the prefix kernel: qkv weight at compute
+        # width + the fp32 (N, 3C) qkv transient + one (N, N) score + ~3
+        # (N, C) fp32 LN buffers. The estimate over-counts (Mosaic reuses
+        # disjoint-lifetime buffers): ViT-L at N=361 estimates ~15.6 MB
+        # and is compile-PROVEN on a v5e (the step_many L-8 bench ran with
+        # the fused prefix default-on), so the cap sits just above it —
+        # ViT-B tracking (~11 MB) and grounding N=681 (~13.7 MB) engage,
+        # ViT-H (~21 MB) falls back to the qkv kernel until measured
+        # (UVLTRACK_FUSED_VMEM_MB to retune).
+        wbytes = jnp.dtype(compute_dtype).itemsize
+        vmem_est = (3 * c * c * wbytes + n * 3 * c * 4 + n * n * 4
+                    + 3 * n * c * 4)
+        vmem_cap = int(os.environ.get("UVLTRACK_FUSED_VMEM_MB", "17"))
+        if (os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1"
+                and vmem_est < vmem_cap * 1024 * 1024):
             return pa.ln_qkv_attention_trainable(
                 heads, eps, x, ln_scale, ln_bias,
                 w_qkv.astype(compute_dtype), b_qkv, key_bias)
@@ -172,16 +186,18 @@ def attention_block_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
             and pa._on_tpu() and n >= pa.min_seq_len()):
         import os
 
-        # VMEM budget: qkv+proj weights at compute width + the fp32
+        # VMEM estimate: qkv+proj weights at compute width + the fp32
         # (N, 3C) qkv transient + one (N, N) score + two (N, C) fp32
-        # buffers; the grounding geometry (N=681, ViT-B) exceeds it and
-        # falls back to the prefix kernel below
+        # buffers — same over-counting model (and the same cap knob) as
+        # the prefix gate in attention_ln_qkv_core; geometries above the
+        # cap fall back to the prefix kernel below
         wbytes = jnp.dtype(compute_dtype).itemsize
         vmem_est = (4 * c * c * wbytes + n * 3 * c * 4 + n * n * 4
                     + 2 * n * c * 4)
+        vmem_cap = int(os.environ.get("UVLTRACK_FUSED_VMEM_MB", "17"))
         if (os.environ.get("UVLTRACK_FUSED_PROJ", "0") == "1"
                 and os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1"
-                and vmem_est < 13 * 1024 * 1024):
+                and vmem_est < vmem_cap * 1024 * 1024):
             return pa.ln_qkv_attn_proj_trainable(
                 heads, eps, x, ln_scale, ln_bias,
                 w_qkv.astype(compute_dtype), b_qkv,
