@@ -162,6 +162,92 @@ def test_checkpoint_retention(tmp_path):
     assert epoch == 11 and np.allclose(state["x"], 1.0)
 
 
+def test_grad_accum_matches_full_batch_step():
+    """TPU.GRAD_ACCUM=2 (lax.scan microbatches inside the jitted step) must
+    produce the same update as the unaccumulated full-batch step under
+    REDUCTION='mean' — the losses are sample-decomposable (the contrastive
+    logits are per-sample, no cross-batch negatives). freeze_bn head so no
+    train-mode batch statistics couple the samples (with live BN each
+    microbatch normalizes by its own stats, like the reference's per-GPU
+    DDP BatchNorm)."""
+    from uvltrack_tpu.models.bert import BertConfig
+    from uvltrack_tpu.models.mufe import MUFE
+    from uvltrack_tpu.models.head import MABH
+    from uvltrack_tpu.models.uvltrack import UVLTrack
+
+    cfg = micro_cfg()
+    model = UVLTrack(
+        backbone=MUFE(embed_dim=32, depth=2, num_heads=4, template_size=32,
+                      search_size=64, fusion_layers=(1,),
+                      cont_loss_layers=(0, 1), txt_token_mode="cls",
+                      bert=BertConfig(vocab_size=100, hidden_size=32,
+                                      num_layers=1, num_heads=4,
+                                      intermediate_size=64, max_position=16)),
+        head=MABH(inplanes=32, channel=32, feat_sz=4, cls_tokenize=False,
+                  softmax_one=True, freeze_bn=True),
+    )
+    rng = np.random.default_rng(3)
+    batch = jax.tree_util.tree_map(jnp.asarray, synthetic_batch(
+        rng, 4, n_search=2, template_size=32, search_size=64, n_text=8,
+        vocab=100))
+    variables = jax.jit(lambda r: model.init(
+        r, batch["template_images"][0, :2], batch["search_images"][0, :2],
+        batch["text"][0, :2], batch["text_mask"][0, :2],
+        jnp.zeros((2, 4), bool), jnp.zeros((2, 16), bool),
+        batch["flag"][:2], train=False))(jax.random.PRNGKey(0))
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch=10)
+    mesh = make_mesh(data=1, model=1)
+
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.TPU.GRAD_ACCUM = 2
+    outs = {}
+    for name, c in (("full", cfg), ("accum", cfg2)):
+        state = create_train_state(variables, tx)
+        step = jit_sharded_train_step(make_train_step(model, tx, c), mesh,
+                                      donate=False)
+        new_state, metrics = step(state, batch)
+        outs[name] = (new_state, metrics)
+    # Exactness caveat: the weighted-ignore contrastive CE normalizes by
+    # the batch's weight SUM (a ratio of sums, train/losses.py:52), so
+    # microbatch means differ from the full-batch value in the 4th decimal
+    # — the same approximation the reference's per-GPU DDP loss makes.
+    # Everything else (focal, ce_mean, giou/l1) decomposes exactly.
+    lf = float(outs["full"][1]["Loss/total"])
+    la = float(outs["accum"][1]["Loss/total"])
+    assert np.isclose(lf, la, rtol=3e-4), (lf, la)
+    gf = float(outs["full"][1]["grad_norm"])
+    ga = float(outs["accum"][1]["grad_norm"])
+    assert np.isclose(gf, ga, rtol=3e-3), (gf, ga)
+    flat_f = jax.tree_util.tree_leaves(outs["full"][0].params)
+    flat_a = jax.tree_util.tree_leaves(outs["accum"][0].params)
+    for pf, pa in zip(flat_f, flat_a):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pa),
+                                   atol=5e-5, rtol=1e-3)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    cfg = micro_cfg()
+    cfg.TPU.GRAD_ACCUM = 3  # batch of 4 does not divide
+    model = micro_model()
+    rng = np.random.default_rng(4)
+    batch = jax.tree_util.tree_map(jnp.asarray, synthetic_batch(
+        rng, 4, n_search=2, template_size=32, search_size=64, n_text=8,
+        vocab=100))
+    variables = jax.jit(lambda r: model.init(
+        r, batch["template_images"][0, :2], batch["search_images"][0, :2],
+        batch["text"][0, :2], batch["text_mask"][0, :2],
+        jnp.zeros((2, 4), bool), jnp.zeros((2, 16), bool),
+        batch["flag"][:2], train=False))(jax.random.PRNGKey(0))
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch=10)
+    mesh = make_mesh(data=1, model=1)
+    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh,
+                                  donate=False)
+    with pytest.raises(AssertionError, match="GRAD_ACCUM"):
+        step(create_train_state(variables, tx), batch)
+
+
 def test_checkpoint_async_save_roundtrip_and_join(tmp_path):
     """save_async: the write happens off-thread; epochs()/restore join the
     in-flight save so the checkpoint is always visible through the manager

@@ -157,6 +157,10 @@ def default_cfg() -> CfgNode:
     c.TPU.ZERO1 = False  # shard Adam moments over the data axis (ZeRO-1)
     c.TPU.MESH_MODEL = 1
     c.TPU.REMAT = False  # jax.checkpoint the backbone blocks during training
+    # >1: accumulate gradients over k microbatches (lax.scan inside the
+    # jitted step) — activation memory scales with BATCH_SIZE/k while the
+    # optimizer sees the full effective batch. BATCH_SIZE must divide by k.
+    c.TPU.GRAD_ACCUM = 1
     c.TPU.COMPILE_CACHE = ""  # persistent XLA compile cache dir ("" = off)
     # Compute the pre-fusion BERT text stream once per sequence at tracker
     # init instead of every frame (identical math; saves ~85 MB of bf16

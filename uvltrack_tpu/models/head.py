@@ -171,13 +171,20 @@ class MABH(nn.Module):
     offset_sigmoid: bool = True
     joint_cls: bool = False
     softmax_one: bool = False
+    # plumb of the reference conv()'s freeze_bn option (uvltrack/utils.py:6,
+    # never set by the shipped head builder) down the four towers
+    freeze_bn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.conv_cls = ConvTower(self.channel, 1, self.dtype, name="conv_cls")
-        self.conv_offset = ConvTower(self.channel, 2, self.dtype, name="conv_offset")
-        self.conv_bbox = ConvTower(self.channel, 2, self.dtype, name="conv_bbox")
+        self.conv_cls = ConvTower(self.channel, 1, self.dtype,
+                                  self.freeze_bn, name="conv_cls")
+        self.conv_offset = ConvTower(self.channel, 2, self.dtype,
+                                     self.freeze_bn, name="conv_offset")
+        self.conv_bbox = ConvTower(self.channel, 2, self.dtype,
+                                   self.freeze_bn, name="conv_bbox")
         self.conv_bbox_grounding = ConvTower(self.channel, 2, self.dtype,
+                                             self.freeze_bn,
                                              name="conv_bbox_grounding")
         self.prompter = DistributionPrompter(self.inplanes, dtype=self.dtype,
                                              name="prompter")

@@ -35,17 +35,67 @@ def create_train_state(variables: dict, tx) -> TrainState:
     )
 
 
+def _split_microbatches(batch: dict, k: int) -> dict:
+    """Reshape every batch leaf's B axis (axis 1 for the frame-major
+    (n, B, ...) arrays, axis 0 for 1-D (B,) leaves like flag) into k
+    leading microbatches: (k, n, B/k, ...) / (k, B/k) — the scan axis of
+    the gradient-accumulation loop."""
+
+    def split(x):
+        if x.ndim >= 2:
+            n, b = x.shape[0], x.shape[1]
+            return x.reshape(n, k, b // k, *x.shape[2:]).swapaxes(0, 1)
+        return x.reshape(k, x.shape[0] // k)
+
+    return jax.tree_util.tree_map(split, batch)
+
+
 def make_train_step(model, tx, cfg):
-    """Returns train_step(state, batch) -> (state, metrics)."""
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    cfg.TPU.GRAD_ACCUM > 1 accumulates gradients over that many
+    microbatches with a lax.scan INSIDE the jitted step (activation memory
+    scales with B/accum while the optimizer sees the full effective batch;
+    one compiled program, no host round-trips — beyond the reference,
+    which has no accumulation). Microbatch grads are averaged under
+    TRAIN.REDUCTION='mean' (summed under 'sum'), making the update
+    identical to the unaccumulated full-batch step up to float summation
+    order."""
+    accum = int(getattr(cfg.TPU, "GRAD_ACCUM", 1) or 1)
 
     def train_step(state: TrainState, batch: dict):
-        def loss_fn(params):
+        def loss_fn(params, b):
             variables = {"params": params, "batch_stats": state.batch_stats}
             loss, (metrics, new_model_state) = forward_and_loss(
-                model, variables, batch, cfg, train=True)
+                model, variables, b, cfg, train=True)
             return loss, (metrics, new_model_state)
 
-        grads, (metrics, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if accum > 1:
+            bsz = batch["flag"].shape[0]
+            assert bsz % accum == 0, (
+                f"batch size {bsz} not divisible by TPU.GRAD_ACCUM={accum}")
+            micro = _split_microbatches(batch, accum)
+
+            def body(g_acc, mb):
+                grads, (metrics, new_ms) = jax.grad(
+                    loss_fn, has_aux=True)(state.params, mb)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, grads),
+                        (metrics, new_ms))
+
+            g_zero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, p.dtype), state.params)
+            g_sum, (metrics_stack, ms_stack) = jax.lax.scan(
+                body, g_zero, micro)
+            scale = (1.0 / accum
+                     if str(cfg.TRAIN.REDUCTION).lower() == "mean" else 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g * scale, g_sum)
+            metrics = jax.tree_util.tree_map(
+                lambda m: m.mean(0), metrics_stack)
+            new_model_state = jax.tree_util.tree_map(
+                lambda x: x[-1], ms_stack)
+        else:
+            grads, (metrics, new_model_state) = jax.grad(
+                loss_fn, has_aux=True)(state.params, batch)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
