@@ -78,6 +78,12 @@ def make_tracker(config: str, build_tracker: bool = True):
     if (os.environ.get("UVLTRACK_BENCH_CACHE", "1") == "1"
             and not cfg.TPU.COMPILE_CACHE):
         cfg.TPU.COMPILE_CACHE = os.path.join(REPO, "output", "xla_cache")
+    # UVLTRACK_BENCH_QUANT=int8 -> weight-only int8 on the ViT matmul
+    # kernels (cfg.TPU.WEIGHT_QUANT; halves the dominant weight stream at
+    # bs=1 — A/B this against the default when the chip is reachable)
+    q = os.environ.get("UVLTRACK_BENCH_QUANT")
+    if q:
+        cfg.TPU.WEIGHT_QUANT = q
     # default: cfg.TPU.USE_PALLAS_ATTENTION=True -> the qkv-layout-native
     # Pallas kernel (beats XLA end-to-end, TPU_DESIGN.md "Attention");
     # UVLTRACK_BENCH_PALLAS=0 forces XLA, =1 forces Pallas

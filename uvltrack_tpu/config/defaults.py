@@ -166,6 +166,11 @@ def default_cfg() -> CfgNode:
     # init instead of every frame (identical math; saves ~85 MB of bf16
     # weight reads per frame at bs=1 ViT-B — see MUFE.encode_text).
     c.TPU.CACHE_TEXT = True
+    # "" | "int8": weight-only symmetric per-channel quantization of the
+    # ViT matmul kernels at inference build (ops/quant.py). bs=1 tracking
+    # is weight-read bound, so int8 halves the dominant HBM stream.
+    # Opt-in until chip-measured (bench: UVLTRACK_BENCH_QUANT=int8).
+    c.TPU.WEIGHT_QUANT = ""
     # "thread" | "process": loader worker pool kind. Threads are zero-copy
     # (enough when cv2 dominates); processes give true parallelism for the
     # numpy/Python stages like the reference's NUM_WORKER dataloader procs.

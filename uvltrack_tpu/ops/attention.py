@@ -109,20 +109,30 @@ def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
         import os
 
         # VMEM *estimate* for the prefix kernel: qkv weight at compute
-        # width + the fp32 (N, 3C) qkv transient + one (N, N) score + ~3
-        # (N, C) fp32 LN buffers. The estimate over-counts (Mosaic reuses
-        # disjoint-lifetime buffers): ViT-L at N=361 estimates ~15.6 MB
-        # and is compile-PROVEN on a v5e (the step_many L-8 bench ran with
-        # the fused prefix default-on), so the cap sits just above it —
-        # ViT-B tracking (~11 MB) and grounding N=681 (~13.7 MB) engage,
-        # ViT-H (~21 MB) falls back to the qkv kernel until measured
-        # (UVLTRACK_FUSED_VMEM_MB to retune).
-        wbytes = jnp.dtype(compute_dtype).itemsize
+        # width (int8 when quantized) + the fp32 (N, 3C) qkv transient +
+        # one (N, N) score + ~3 (N, C) fp32 LN buffers. The estimate
+        # over-counts (Mosaic reuses disjoint-lifetime buffers): ViT-L at
+        # N=361 estimates ~15.6 MB and is compile-PROVEN on a v5e (the
+        # step_many L-8 bench ran with the fused prefix default-on), so
+        # the cap sits just above it — ViT-B tracking (~11 MB) and
+        # grounding N=681 (~13.7 MB) engage, ViT-H (~21 MB) falls back to
+        # the qkv kernel until measured (UVLTRACK_FUSED_VMEM_MB to retune).
+        from .quant import is_quantized
+
+        wbytes = 1 if is_quantized(w_qkv) else jnp.dtype(compute_dtype).itemsize
         vmem_est = (3 * c * c * wbytes + n * 3 * c * 4 + n * n * 4
                     + 3 * n * c * 4)
         vmem_cap = int(os.environ.get("UVLTRACK_FUSED_VMEM_MB", "17"))
         if (os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1"
                 and vmem_est < vmem_cap * 1024 * 1024):
+            if is_quantized(w_qkv):
+                # inference-only int8 path: the kernel reads the int8
+                # payload (half the HBM stream) and scales the fp32
+                # accumulator (ops/quant.py); no custom VJP — training
+                # keeps fp master weights
+                return pa.fused_ln_qkv_attention_q8(
+                    x, ln_scale, ln_bias, w_qkv.q, w_qkv.scale, b_qkv,
+                    key_bias, heads, eps=eps)
             return pa.ln_qkv_attention_trainable(
                 heads, eps, x, ln_scale, ln_bias,
                 w_qkv.astype(compute_dtype), b_qkv, key_bias)
@@ -186,18 +196,28 @@ def attention_block_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
             and pa._on_tpu() and n >= pa.min_seq_len()):
         import os
 
-        # VMEM estimate: qkv+proj weights at compute width + the fp32
-        # (N, 3C) qkv transient + one (N, N) score + two (N, C) fp32
-        # buffers — same over-counting model (and the same cap knob) as
-        # the prefix gate in attention_ln_qkv_core; geometries above the
-        # cap fall back to the prefix kernel below
-        wbytes = jnp.dtype(compute_dtype).itemsize
+        # VMEM estimate: qkv+proj weights at compute width (int8 when
+        # quantized) + the fp32 (N, 3C) qkv transient + one (N, N) score +
+        # two (N, C) fp32 buffers — same over-counting model (and the same
+        # cap knob) as the prefix gate in attention_ln_qkv_core; geometries
+        # above the cap fall back to the prefix kernel below
+        from .quant import is_quantized
+
+        quant_pair = is_quantized(w_qkv) and is_quantized(w_proj)
+        wbytes = 1 if quant_pair else jnp.dtype(compute_dtype).itemsize
         vmem_est = (4 * c * c * wbytes + n * 3 * c * 4 + n * n * 4
                     + 2 * n * c * 4)
         vmem_cap = int(os.environ.get("UVLTRACK_FUSED_VMEM_MB", "17"))
         if (os.environ.get("UVLTRACK_FUSED_PROJ", "0") == "1"
                 and os.environ.get("UVLTRACK_FUSED_PREFIX", "1") == "1"
+                and (quant_pair or not (is_quantized(w_qkv)
+                                        or is_quantized(w_proj)))
                 and vmem_est < vmem_cap * 1024 * 1024):
+            if quant_pair:
+                return pa.fused_ln_qkv_attn_proj_q8(
+                    x, ln_scale, ln_bias, w_qkv.q, w_qkv.scale, b_qkv,
+                    w_proj.q, w_proj.scale, b_proj, key_bias, heads,
+                    eps=eps)
             return pa.ln_qkv_attn_proj_trainable(
                 heads, eps, x, ln_scale, ln_bias,
                 w_qkv.astype(compute_dtype), b_qkv,
@@ -233,9 +253,12 @@ def ln_mlp_core(x: jnp.ndarray, ln_scale, ln_bias, w1, b1, w2, b2,
         # FPS) — XLA pipelines the two MXU matmuls across tiles/layers and
         # hides the 9.4 MB weight stream, which one monolithic program
         # cannot; kept as an opt-in experiment (UVLTRACK_FUSED_MLP=1)
+        from .quant import is_quantized
+
         if (pa._HAS_PALLAS and pa._on_tpu()
                 and os.environ.get("UVLTRACK_FUSED_MLP", "0") == "1"
                 and n >= pa.min_seq_len()
+                and not (is_quantized(w1) or is_quantized(w2))
                 and vmem_est < 14 * 1024 * 1024):
             return pa.ln_mlp_trainable(
                 eps, x, ln_scale, ln_bias, w1.astype(compute_dtype),

@@ -39,6 +39,8 @@ import os
 import jax
 import jax.numpy as jnp
 
+from .quant import quant_dot
+
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -243,8 +245,7 @@ def _xla_ln_qkv(x, ln_scale, ln_bias, w_qkv, b_qkv, eps: float = 1e-6):
         jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
-    qkv = jnp.dot(y.astype(w_qkv.dtype), w_qkv,
-                  preferred_element_type=jnp.float32)
+    qkv = quant_dot(y.astype(w_qkv.dtype), w_qkv)
     return (qkv + b_qkv.astype(jnp.float32)).astype(w_qkv.dtype)
 
 
@@ -374,8 +375,7 @@ def _xla_proj(attn, w_proj, b_proj):
     result in w_proj's dtype) — THE one copy of the proj math, shared by
     the fused kernel's backward recompute, the composed fallback in
     ops/attention.attn_proj_core and the CPU/parity path."""
-    o = jnp.dot(attn.astype(w_proj.dtype), w_proj,
-                preferred_element_type=jnp.float32)
+    o = quant_dot(attn.astype(w_proj.dtype), w_proj)
     return (o + b_proj.astype(jnp.float32)).astype(w_proj.dtype)
 
 
@@ -418,6 +418,148 @@ def _ln_qkv_attn_proj_bwd(heads, eps, res, g):
 
 ln_qkv_attn_proj_trainable.defvjp(_ln_qkv_attn_proj_fwd,
                                   _ln_qkv_attn_proj_bwd)
+
+
+def _attn_heads_concat(qkv, bias, *, scale: float, heads: int,
+                       head_dim: int, out_dtype):
+    """Shared per-head attention loop over a VMEM-resident (N, 3·H·D) qkv
+    tensor, returning the concatenated (N, H·D) output — the body of the
+    q8 kernel variants (the measured fp kernels keep their slice-write
+    bodies untouched)."""
+    hd = heads * head_dim
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, hd + h * head_dim:hd + (h + 1) * head_dim]
+        v = qkv[:, 2 * hd + h * head_dim:2 * hd + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT) * scale
+        e = jnp.exp(jnp.clip(s + bias, -_CLAMP, _CLAMP))
+        o = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+        o = o * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
+        outs.append(o.astype(out_dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _ln_qkv_attn_kernel_q8(x_ref, g_ref, b_ref, wq_ref, ws_ref, wb_ref,
+                           bias_ref, o_ref, *, scale: float, heads: int,
+                           head_dim: int, eps: float):
+    """int8-weight variant of _ln_qkv_attn_kernel: the qkv weight rides in
+    VMEM as the int8 payload (HALF the HBM stream and resident footprint of
+    the bf16 kernel) and the per-output-channel fp32 scale multiplies the
+    fp32 accumulator — mathematically the scale lifted out of the
+    contraction (ops/quant.py quant_dot), never a dense dequantized copy."""
+    cdt = o_ref.dtype
+    x = x_ref[0].astype(jnp.float32)  # (N, C)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean,
+                      0.0)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    qkv = jax.lax.dot_general(
+        y.astype(cdt), wq_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    qkv = qkv * ws_ref[...] + wb_ref[...].astype(jnp.float32)
+    qkv = qkv.astype(cdt)
+    bias = bias_ref[0].astype(jnp.float32)  # (1, N)
+    o_ref[0] = _attn_heads_concat(qkv, bias, scale=scale, heads=heads,
+                                  head_dim=head_dim, out_dtype=cdt)
+
+
+def fused_ln_qkv_attention_q8(x, ln_scale, ln_bias, w_q, w_scale, b_qkv,
+                              key_bias, heads: int, eps: float = 1e-6,
+                              interpret: bool = False):
+    """Quantized-weight prefix kernel. w_q: (C, 3C) int8; w_scale: (3C,)
+    fp32. Inference-only (no custom VJP — training keeps fp weights).
+    Returns (B, N, C) pre-proj attention output in x.dtype."""
+    interpret = interpret or _FORCE_INTERPRET
+    b, n, c = x.shape
+    d = c // heads
+    key_bias = key_bias[:, None, :]
+    spec_x = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_vec = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_wv = pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_bias = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_attn_kernel_q8, scale=d ** -0.5,
+                          heads=heads, head_dim=d, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid=(b,),
+        in_specs=[spec_x, spec_vec, spec_vec, spec_w, spec_wv, spec_wv,
+                  spec_bias],
+        out_specs=spec_x,
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w_q, w_scale, b_qkv, key_bias)
+
+
+def _ln_qkv_attn_proj_kernel_q8(x_ref, g_ref, b_ref, wq_ref, ws_ref, wb_ref,
+                                wpq_ref, wps_ref, bp_ref, bias_ref, o_ref, *,
+                                scale: float, heads: int, head_dim: int,
+                                eps: float):
+    """int8-weight variant of the full-branch kernel: both the qkv and proj
+    weights ride as int8 payloads; scales multiply the fp32 accumulators."""
+    x_orig = x_ref[0]
+    cdt = x_orig.dtype  # compute dtype comes from the residual stream
+    x = x_orig.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean,
+                      0.0)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    qkv = jax.lax.dot_general(
+        y.astype(cdt), wq_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    qkv = (qkv * ws_ref[...] + wb_ref[...].astype(jnp.float32)).astype(cdt)
+    bias = bias_ref[0].astype(jnp.float32)
+    o_all = _attn_heads_concat(qkv, bias, scale=scale, heads=heads,
+                               head_dim=head_dim, out_dtype=cdt)
+    proj = jax.lax.dot_general(
+        o_all, wpq_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    proj = (proj * wps_ref[...] + bp_ref[...].astype(jnp.float32)).astype(
+        x_orig.dtype)
+    o_ref[0] = x_orig + proj
+
+
+def fused_ln_qkv_attn_proj_q8(x, ln_scale, ln_bias, w_q, w_scale, b_qkv,
+                              wp_q, wp_scale, b_proj, key_bias, heads: int,
+                              eps: float = 1e-6, interpret: bool = False):
+    """Quantized full-branch kernel: returns (B, N, C) POST-residual.
+    w_q: (C, 3C) int8 + (3C,) scale; wp_q: (C, C) int8 + (C,) scale."""
+    interpret = interpret or _FORCE_INTERPRET
+    b, n, c = x.shape
+    d = c // heads
+    key_bias = key_bias[:, None, :]
+    spec_x = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_vc = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_v3c = pl.BlockSpec((3 * c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    spec_wp = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_bias = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ln_qkv_attn_proj_kernel_q8, scale=d ** -0.5,
+                          heads=heads, head_dim=d, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        grid=(b,),
+        in_specs=[spec_x, spec_vc, spec_vc, spec_w, spec_v3c, spec_v3c,
+                  spec_wp, spec_vc, spec_vc, spec_bias],
+        out_specs=spec_x,
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w_q, w_scale, b_qkv, wp_q, wp_scale, b_proj,
+      key_bias)
 
 
 def _ln_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -479,9 +621,9 @@ def _xla_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps: float = 1e-6):
         jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean, 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
-    h = jnp.dot(y.astype(w1.dtype), w1, preferred_element_type=jnp.float32)
+    h = quant_dot(y.astype(w1.dtype), w1)
     h = jax.nn.gelu(h + b1.astype(jnp.float32), approximate=False)
-    o = jnp.dot(h.astype(w2.dtype), w2, preferred_element_type=jnp.float32)
+    o = quant_dot(h.astype(w2.dtype), w2)
     return (o + b2.astype(jnp.float32)).astype(w2.dtype)
 
 

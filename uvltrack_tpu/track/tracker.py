@@ -48,6 +48,20 @@ class JitTracker:
             from ..models.uvltrack import cast_inference_variables
 
             variables = cast_inference_variables(variables)
+        wq = str(getattr(cfg.TPU, "WEIGHT_QUANT", "") or "")
+        if wq:
+            # weight-only int8 on the ViT matmul kernels (after the bf16
+            # cast — quantization replaces those leaves outright, so cast
+            # order only affects the fp source of the scales). bs=1
+            # tracking is weight-read bound; int8 halves that stream
+            # (ops/quant.py). Inference-only: training keeps fp masters.
+            if wq != "int8":
+                raise ValueError(f"TPU.WEIGHT_QUANT={wq!r}: only 'int8'")
+            from ..ops.quant import count_quantized, quantize_vit_params
+
+            params_q = quantize_vit_params(variables["params"])
+            if count_quantized(params_q):
+                variables = dict(variables, params=params_q)
         self.variables = variables
         self.cfg = cfg
         self.search_size = int(cfg.TEST.SEARCH_SIZE)
