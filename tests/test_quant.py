@@ -213,6 +213,49 @@ def test_quantize_vit_params_tree_surgery_and_model_drift():
         assert np.abs(a - bq).max() / denom < 0.05, k
 
 
+def test_quantized_tracker_tracks_close_to_fp(monkeypatch):
+    """End-to-end: a bf16 Tracker with WEIGHT_QUANT='int8' follows the fp
+    tracker's boxes on synthetic frames (the shipped serving configuration:
+    bf16 compute + int8 weights)."""
+    from uvltrack_tpu.config import default_cfg
+    from uvltrack_tpu.ops import quant as quant_mod
+    from uvltrack_tpu.track.tracker import Tracker
+    from tests.test_model import NT, tiny_inputs, tiny_model
+
+    def cfgmk(quant):
+        c = default_cfg()
+        c.DATA.TEMPLATE.SIZE = 32
+        c.DATA.SEARCH.SIZE = 64
+        c.TEST.TEMPLATE_SIZE = 32
+        c.TEST.SEARCH_SIZE = 64
+        c.TEST.TEMPLATE_FACTOR = 2.0
+        c.TEST.SEARCH_FACTOR = 4.0
+        c.TEST.MODE = "BBOX"
+        c.TEST.UPDATE_INTERVAL = 100
+        c.TEST.THRESHOLD = 2.0  # no prompt refresh: deterministic compare
+        c.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN = NT
+        c.TPU.WEIGHT_QUANT = "int8" if quant else ""
+        return c
+
+    real = quant_mod.quantize_vit_params
+    monkeypatch.setattr(quant_mod, "quantize_vit_params",
+                        lambda p, min_dim=128: real(p, min_dim=1))
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(4)]
+    boxes = {}
+    for name, quant in (("fp", False), ("q8", True)):
+        t = Tracker(cfgmk(quant), model, variables, tokenizer=None)
+        t.initialize(frames[0], {"init_bbox": [30.0, 20.0, 20.0, 24.0]})
+        boxes[name] = [t.track(f)["target_bbox"] for f in frames[1:]]
+    for bf, bq in zip(boxes["fp"], boxes["q8"]):
+        np.testing.assert_allclose(np.asarray(bq), np.asarray(bf), atol=2.0)
+
+
 def test_tracker_build_applies_weight_quant(monkeypatch):
     """cfg.TPU.WEIGHT_QUANT='int8' quantizes the JitTracker's variables at
     build (min_dim gate keeps toy models fp — patch it down for the test)."""
