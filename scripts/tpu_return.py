@@ -1,0 +1,161 @@
+"""TPU-return measurement orchestrator.
+
+The round-3 tunnel outage left several chip-side A/Bs pending (CLAUDE.md
+"TPU-RETURN CHECKLIST"). This script runs them all, unattended, the moment
+the chip answers — designed to be exec'd by the probe loop so results
+accumulate even if nobody is watching:
+
+  1. corrected fused-prefix A/B   (fused LN+qkv kernel vs step-3 qkv kernel)
+  2. proj-epilogue A/B            (--knob proj)
+  3. weight-only int8 A/B         (UVLTRACK_BENCH_QUANT=int8 vs default)
+  4. a full bench.py run          (headline refresh incl. extras)
+
+Each stage appends one JSON line to output/tpu_return_results.jsonl
+({"stage": ..., "ok": ..., "result"/"error": ...}); stages are independent
+— a failure logs and moves on. A lock file (output/tpu_return.lock)
+prevents two orchestrators (or an orchestrator + manual bench) from
+fighting over the single tunnel client slot: manual TPU work should check
+for it.
+
+Usage: python scripts/tpu_return.py [--skip prefix,proj,quant,bench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "output")
+LOCK = os.path.join(OUT, "tpu_return.lock")
+RESULTS = os.path.join(OUT, "tpu_return_results.jsonl")
+
+
+def log(stage: str, payload: dict) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    rec = {"stage": stage, "ts": time.time(), **payload}
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"[tpu_return] {stage}: {json.dumps(payload)[:300]}", flush=True)
+
+
+def last_json_line(text: str):
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def run(cmd, env_extra=None, timeout_s=7200):
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=timeout_s, env=env, cwd=REPO)
+    return proc, last_json_line(proc.stdout)
+
+
+def stage_ab(knob: str, rounds: int, iters: int):
+    cmd = [sys.executable, "-u",
+           os.path.join(REPO, "scripts", "bench_fused_prefix_ab.py"),
+           "--rounds", str(rounds), "--iters", str(iters)]
+    if knob != "prefix":
+        cmd += ["--knob", knob]
+    proc, result = run(cmd, timeout_s=3 * 3600)
+    if result is None:
+        raise RuntimeError(f"no JSON (rc={proc.returncode}): "
+                           f"{proc.stderr.strip()[-400:]}")
+    result["stderr_tail"] = proc.stderr.strip().splitlines()[-6:]
+    return result
+
+
+def stage_quant(rounds: int, iters: int):
+    """Interleaved int8-vs-default primary runs (tunnel variance ~±10%)."""
+    legs = {"int8": [], "fp": []}
+    for _ in range(rounds):
+        for name, env in (("int8", {"UVLTRACK_BENCH_QUANT": "int8"}),
+                          ("fp", {})):
+            env = dict(env, UVLTRACK_BENCH_EXTRAS="0",
+                       UVLTRACK_BENCH_ITERS=str(iters))
+            proc, result = run([sys.executable, "-u",
+                                os.path.join(REPO, "bench.py"),
+                                "--extra", "primary"],
+                               env_extra=env, timeout_s=2400)
+            if result and "fps_primary" in result:
+                legs[name].append(result["fps_primary"])
+            else:
+                legs[name].append(None)
+    good = {k: [v for v in vs if v] for k, vs in legs.items()}
+    out = {"int8_fps": legs["int8"], "fp_fps": legs["fp"]}
+    if good["int8"] and good["fp"]:
+        import statistics
+
+        mi, mf = statistics.median(good["int8"]), statistics.median(good["fp"])
+        out.update({"int8_median": mi, "fp_median": mf,
+                    "int8_over_fp": round(mi / mf, 4)})
+    return out
+
+
+def stage_bench():
+    proc, result = run([sys.executable, "-u", os.path.join(REPO, "bench.py")],
+                       timeout_s=3600)
+    if result is None:
+        raise RuntimeError(f"no JSON (rc={proc.returncode}): "
+                           f"{proc.stderr.strip()[-400:]}")
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", default="",
+                   help="comma list of stages to skip: prefix,proj,quant,bench")
+    p.add_argument("--rounds", type=int, default=2)
+    p.add_argument("--iters", type=int, default=192)
+    args = p.parse_args(argv)
+    skip = set(filter(None, args.skip.split(",")))
+
+    os.makedirs(OUT, exist_ok=True)
+    if os.path.exists(LOCK):
+        age = time.time() - os.path.getmtime(LOCK)
+        if age < 4 * 3600:
+            print(f"lock {LOCK} is {age:.0f}s old — another run owns the "
+                  f"tunnel; exiting", file=sys.stderr)
+            return 1
+    with open(LOCK, "w") as f:
+        f.write(f"{os.getpid()} {time.time()}\n")
+    try:
+        stages = [
+            ("prefix", lambda: stage_ab("prefix", args.rounds, args.iters)),
+            ("proj", lambda: stage_ab("proj", args.rounds, args.iters)),
+            ("quant", lambda: stage_quant(args.rounds, args.iters)),
+            ("bench", stage_bench),
+        ]
+        for name, fn in stages:
+            if name in skip:
+                log(name, {"ok": None, "skipped": True})
+                continue
+            t0 = time.time()
+            try:
+                result = fn()
+                log(name, {"ok": True, "wall_s": round(time.time() - t0),
+                           "result": result})
+            except Exception as e:  # independent stages: log and move on
+                log(name, {"ok": False, "wall_s": round(time.time() - t0),
+                           "error": f"{type(e).__name__}: {e}"})
+    finally:
+        try:
+            os.remove(LOCK)
+        except OSError:
+            pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
