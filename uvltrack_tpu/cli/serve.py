@@ -309,6 +309,9 @@ def main(argv=None):
     p.add_argument("--multichip", action="store_true",
                    help="with --lockstep: shard the pool slots over all "
                         "local chips (mesh data axis)")
+    p.add_argument("--quant", default=None, choices=("int8",),
+                   help="weight-only quantization of the ViT matmul kernels "
+                        "at tracker build (cfg.TPU.WEIGHT_QUANT)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -319,6 +322,8 @@ def main(argv=None):
     settings = env_settings()
     cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
                                        args.tracker_param))
+    if args.quant:
+        cfg.TPU.WEIGHT_QUANT = args.quant
     proto = build_tracker(cfg, args.test_checkpoint)
     mesh = None
     if args.multichip:

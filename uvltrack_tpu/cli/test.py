@@ -84,6 +84,9 @@ def main(argv=None):
                    help="with --save_vis: also dump cls/merged response-map "
                         "heatmaps per frame (extra readback; debug-grade "
                         "per-frame times)")
+    p.add_argument("--quant", default=None, choices=("int8",),
+                   help="weight-only quantization of the ViT matmul kernels "
+                        "at tracker build (cfg.TPU.WEIGHT_QUANT; ops/quant.py)")
     args = p.parse_args(argv)
 
     from ..config import load_cfg
@@ -95,6 +98,8 @@ def main(argv=None):
     settings = env_settings()
     cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
                                        args.tracker_param))
+    if args.quant:
+        cfg.TPU.WEIGHT_QUANT = args.quant
 
     if args.test_checkpoint is None:
         # default checkpoint discovery (parity: lib/test/parameter/uvltrack.py's
