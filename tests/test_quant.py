@@ -131,6 +131,38 @@ def test_q8_proj_kernel_matches_xla_quant_path():
                                atol=5e-5, rtol=5e-4)
 
 
+def test_qconv_matches_nn_conv_and_quantizes():
+    """QConv's fp path reproduces nn.Conv bit-for-bit on the same weights
+    (it replaced it in ConvBnRelu); the quantized path matches the dense
+    dequantized conv (scale factors out of the contraction)."""
+    import flax.linen as nn
+
+    from uvltrack_tpu.models.head import QConv
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    qc = QConv(24)
+    v = qc.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(qc.apply)(v, x)
+    ref_conv = nn.Conv(24, (3, 3), padding=1, dtype=jnp.float32,
+                       param_dtype=jnp.float32)
+    ref = jax.jit(ref_conv.apply)(
+        {"params": {"kernel": v["params"]["kernel"],
+                    "bias": v["params"]["bias"]}}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+    qt = quantize_weight(v["params"]["kernel"])
+    assert qt.scale.shape == (24,)
+    vq = {"params": {"kernel": qt, "bias": v["params"]["bias"]}}
+    out_q = jax.jit(qc.apply)(vq, x)
+    dense = {"params": {"kernel": qt.materialize(jnp.float32),
+                        "bias": v["params"]["bias"]}}
+    out_d = jax.jit(qc.apply)(dense, x)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_quant_dispatch_selects_q8_kernels(monkeypatch):
     """attention_ln_qkv_core / attention_block_core with QuantizedTensor
     weights on the pallas backend must take the q8 kernels."""
@@ -189,9 +221,14 @@ def test_quantize_vit_params_tree_surgery_and_model_drift():
         jax.random.PRNGKey(0))
     params_q = quantize_vit_params(variables["params"], min_dim=1)
     depth = 4  # TINY depth
-    assert count_quantized(params_q) == 4 * depth
+    # 4 matmul kernels per VitBlock + 4 tower convs x 4 stages in the head
+    assert count_quantized(params_q) == 4 * depth + 16
+    assert isinstance(params_q["head"]["conv_cls"]["stage_0"]["conv"]["kernel"],
+                      QuantizedTensor)
     # non-block leaves untouched
     assert not isinstance(params_q["backbone"]["patch_embed"]["proj"]["kernel"],
+                          QuantizedTensor)
+    assert not isinstance(params_q["head"]["conv_cls"]["final"]["kernel"],
                           QuantizedTensor)
 
     template, search, text_ids, text_mask, *_ = inp
@@ -277,7 +314,7 @@ def test_tracker_build_applies_weight_quant(monkeypatch):
     monkeypatch.setattr(quant_mod, "quantize_vit_params",
                         lambda p, min_dim=128: real(p, min_dim=1))
     jt = JitTracker(model, variables, cfg)
-    assert count_quantized(jt.variables["params"]) == 16
+    assert count_quantized(jt.variables["params"]) == 32  # 16 vit + 16 conv
 
     cfg2 = default_cfg()
     cfg2.TPU.COMPUTE_DTYPE = "float32"

@@ -32,6 +32,40 @@ from .mufe import l2_normalize, select_by_flag
 NEG_INF = -1e20
 
 
+class QConv(nn.Module):
+    """nn.Conv twin (same {kernel, bias} tree, same lecun_normal/zeros
+    init, NHWC/HWIO) whose kernel may ship as an int8 QuantizedTensor —
+    conv is linear in the filter, so the per-out-channel scale factors out
+    of the contraction exactly and the filter streams from HBM at half
+    width (ops/quant.py; cfg.TPU.WEIGHT_QUANT)."""
+
+    out: int
+    ksize: tuple = (3, 3)
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import QuantizedTensor
+
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*self.ksize, x.shape[-1], self.out))
+        b = self.param("bias", nn.initializers.zeros, (self.out,))
+        dt = self.dtype
+        pad = [(self.padding, self.padding)] * 2
+        dn = ("NHWC", "HWIO", "NHWC")
+        if isinstance(w, QuantizedTensor):
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), w.q.astype(dt), (1, 1), pad,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            y = y * w.scale + b.astype(jnp.float32)
+            return y.astype(dt)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), w.astype(dt), (1, 1), pad, dimension_numbers=dn)
+        return y + b.astype(dt)
+
+
 class ConvBnRelu(nn.Module):
     """conv -> BN -> relu (uvltrack/utils.py:5-18). freeze_bn=True mirrors
     FrozenBatchNorm2d (:20-50): stats AND affine params fixed — the scale/
@@ -45,8 +79,7 @@ class ConvBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv")(x)
+        x = QConv(self.out, dtype=self.dtype, name="conv")(x)
         if self.freeze_bn:
             scale = self.variable("batch_stats", "frozen_scale",
                                   lambda: jnp.ones(self.out, jnp.float32))

@@ -82,9 +82,13 @@ class QuantizedTensor:
 
 
 def quantize_weight(w: jnp.ndarray) -> QuantizedTensor:
-    """Symmetric per-output-channel int8 of a 2-D (in, out) kernel."""
-    assert w.ndim == 2, f"only 2-D matmul kernels quantize, got {w.shape}"
-    amax = jnp.max(jnp.abs(w).astype(jnp.float32), axis=0)
+    """Symmetric per-output-channel int8 of a matmul/conv kernel whose LAST
+    axis is the output channel ((in, out) Dense or (H, W, in, out) HWIO
+    conv — both are linear in the kernel, so the per-out-channel scale
+    factors out of the contraction exactly)."""
+    assert w.ndim >= 2, f"need a kernel with an out-channel axis, got {w.shape}"
+    red = tuple(range(w.ndim - 1))
+    amax = jnp.max(jnp.abs(w).astype(jnp.float32), axis=red)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
     return QuantizedTensor(q.astype(jnp.int8), scale)
@@ -141,9 +145,19 @@ def quantize_vit_params(params: dict, min_dim: int = 128) -> dict:
         is_vit_kernel = (
             len(names) >= 3 and names[0] == "backbone"
             and isinstance(names[1], str) and names[1].startswith("block_")
-            and any(names[-len(t):] == t for t in _VIT_KERNEL_TAILS))
-        if (is_vit_kernel and getattr(leaf, "ndim", 0) == 2
-                and min(leaf.shape) >= min_dim):
+            and any(names[-len(t):] == t for t in _VIT_KERNEL_TAILS)
+            and getattr(leaf, "ndim", 0) == 2 and min(leaf.shape) >= min_dim)
+        # head tower 3x3 convs (models/head.py QConv holds them as
+        # {conv: {kernel, bias}}): HWIO, quantized per out channel when the
+        # channel count is worth it (stage 0/1 at the shipped 256-channel
+        # head; the tail stages shrink below min_dim and stay fp)
+        is_head_conv = (
+            len(names) >= 4 and names[0] == "head"
+            and isinstance(names[1], str) and names[1].startswith("conv_")
+            and names[-2:] == ("conv", "kernel")
+            and getattr(leaf, "ndim", 0) == 4
+            and leaf.shape[-1] >= min_dim)
+        if is_vit_kernel or is_head_conv:
             leaves.append(quantize_weight(leaf))
         else:
             leaves.append(leaf)
