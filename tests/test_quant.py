@@ -323,3 +323,15 @@ def test_tracker_build_applies_weight_quant(monkeypatch):
     cfg2.TEST.TEMPLATE_SIZE = 32
     with pytest.raises(ValueError, match="WEIGHT_QUANT"):
         JitTracker(model, variables, cfg2)
+
+    # the batched (lockstep/serving) tracker shares the same prep
+    from uvltrack_tpu.track.batch import BatchTracker
+
+    cfg3 = default_cfg()
+    cfg3.TPU.COMPUTE_DTYPE = "float32"
+    cfg3.TPU.WEIGHT_QUANT = "int8"
+    cfg3.TEST.SEARCH_SIZE = 64
+    cfg3.TEST.TEMPLATE_SIZE = 32
+    cfg3.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN = 8
+    bt = BatchTracker(cfg3, model, variables, num_streams=2)
+    assert count_quantized(bt.variables["params"]) == 32

@@ -83,6 +83,26 @@ def cast_inference_variables(variables: dict, dtype=jnp.bfloat16) -> dict:
     return jax.tree_util.tree_map(cast, variables)
 
 
+def prepare_inference_variables(cfg, variables: dict) -> dict:
+    """THE inference variable prep, shared by every tracker entry point
+    (JitTracker and BatchTracker): bf16 cast per cfg.TPU.COMPUTE_DTYPE,
+    then weight-only int8 per cfg.TPU.WEIGHT_QUANT (ops/quant.py) — so
+    single-stream, lockstep-pool and multichip serving all run the same
+    weights."""
+    if str(cfg.TPU.COMPUTE_DTYPE) == "bfloat16":
+        variables = cast_inference_variables(variables)
+    wq = str(getattr(cfg.TPU, "WEIGHT_QUANT", "") or "")
+    if wq:
+        if wq != "int8":
+            raise ValueError(f"TPU.WEIGHT_QUANT={wq!r}: only 'int8'")
+        from ..ops.quant import count_quantized, quantize_vit_params
+
+        params_q = quantize_vit_params(variables["params"])
+        if count_quantized(params_q):
+            variables = dict(variables, params=params_q)
+    return variables
+
+
 def configure_compile_cache(cfg) -> None:
     """Enable jax's persistent compilation cache when cfg.TPU.COMPILE_CACHE
     names a directory — a production nicety: tracker/train start-up skips

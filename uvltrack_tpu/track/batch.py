@@ -53,10 +53,12 @@ class BatchTracker:
         split on the stream axis, collectives-free (pure data parallel)."""
         self.cfg = cfg
         self.model = model
-        if str(cfg.TPU.COMPUTE_DTYPE) == "bfloat16":
-            from ..models.uvltrack import cast_inference_variables
+        from ..models.uvltrack import prepare_inference_variables
 
-            variables = cast_inference_variables(variables)
+        # bf16 cast + optional weight-only int8, identical to the
+        # single-stream JitTracker (one prep, ops/quant.py applies to the
+        # pool/multichip paths too)
+        variables = prepare_inference_variables(cfg, variables)
         self.mesh = mesh
         self.S = num_streams       # caller-visible stream count
         self.S_pad = num_streams   # internal (device) count

@@ -44,25 +44,13 @@ class JitTracker:
 
     def __init__(self, model: UVLTrack, variables: dict, cfg):
         self.model = model
-        if str(cfg.TPU.COMPUTE_DTYPE) == "bfloat16":
-            from ..models.uvltrack import cast_inference_variables
+        from ..models.uvltrack import prepare_inference_variables
 
-            variables = cast_inference_variables(variables)
-        wq = str(getattr(cfg.TPU, "WEIGHT_QUANT", "") or "")
-        if wq:
-            # weight-only int8 on the ViT matmul kernels (after the bf16
-            # cast — quantization replaces those leaves outright, so cast
-            # order only affects the fp source of the scales). bs=1
-            # tracking is weight-read bound; int8 halves that stream
-            # (ops/quant.py). Inference-only: training keeps fp masters.
-            if wq != "int8":
-                raise ValueError(f"TPU.WEIGHT_QUANT={wq!r}: only 'int8'")
-            from ..ops.quant import count_quantized, quantize_vit_params
-
-            params_q = quantize_vit_params(variables["params"])
-            if count_quantized(params_q):
-                variables = dict(variables, params=params_q)
-        self.variables = variables
+        # bf16 cast + optional weight-only int8 (cfg.TPU.WEIGHT_QUANT —
+        # bs=1 tracking is weight-read bound; inference-only, training
+        # keeps fp masters). Shared with BatchTracker so lockstep serving
+        # runs the same weights.
+        self.variables = prepare_inference_variables(cfg, variables)
         self.cfg = cfg
         self.search_size = int(cfg.TEST.SEARCH_SIZE)
         self.template_size = int(cfg.TEST.TEMPLATE_SIZE)
