@@ -225,3 +225,101 @@ def test_lockstep_coalesces_and_matches_standalone(lockstep_url):
         _post(url, "/track", {"stream": "a", "image": _npy_b64(first),
                               "format": "npy"})
     assert e.value.code == 404
+
+
+# --------------------------------------------------- admission + eviction
+
+
+def _status_of(url, route, payload):
+    req = urllib.request.Request(
+        url + route, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_max_streams_admission(server_url_limited):
+    """--max_streams: the N+1th NEW stream gets 429; re-initializing an
+    existing stream and a post-close admission both succeed."""
+    url, server = server_url_limited
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 255, size=(60, 80, 3)).astype(np.uint8)
+    for s in ("m1", "m2"):
+        code, _ = _status_of(url, "/initialize",
+                             {"stream": s, "image": _npy_b64(img),
+                              "format": "npy", "bbox": [10, 10, 20, 20]})
+        assert code == 200
+    code, body = _status_of(url, "/initialize",
+                            {"stream": "m3", "image": _npy_b64(img),
+                             "format": "npy", "bbox": [10, 10, 20, 20]})
+    assert code == 429 and "max_streams" in body["error"]
+    # re-init of an EXISTING stream is not a new admission
+    code, _ = _status_of(url, "/initialize",
+                         {"stream": "m1", "image": _npy_b64(img),
+                          "format": "npy", "bbox": [10, 10, 20, 20]})
+    assert code == 200
+    # closing frees a slot
+    _post(url, "/close", {"stream": "m2"})
+    code, _ = _status_of(url, "/initialize",
+                         {"stream": "m3", "image": _npy_b64(img),
+                          "format": "npy", "bbox": [10, 10, 20, 20]})
+    assert code == 200
+    _post(url, "/close", {"stream": "m1"})
+    _post(url, "/close", {"stream": "m3"})
+
+
+@pytest.fixture(scope="module")
+def server_url_limited():
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    proto = Tracker(tiny_cfg(), model, variables, tokenizer=None)
+    server = make_server(proto, port=0, max_streams=2, stream_ttl=1.5)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, server
+    if server.reaper is not None:
+        server.reaper.stop()
+    server.shutdown()
+    server.server_close()
+
+
+def test_stream_ttl_evicts_idle(server_url_limited):
+    """--stream_ttl: an idle stream is reaped (404 on its next /track) and
+    its admission slot frees up; an active stream survives."""
+    import time as _time
+
+    url, server = server_url_limited
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 255, size=(60, 80, 3)).astype(np.uint8)
+    # warm-up OUTSIDE the timed window: the first /track compiles the step
+    # for seconds on this CPU while holding the server lock (blocking the
+    # reaper), which would eat the whole keep-alive loop
+    _post(url, "/initialize", {"stream": "t1", "image": _npy_b64(img),
+                               "format": "npy", "bbox": [10, 10, 20, 20]})
+    _post(url, "/track", {"stream": "t1", "image": _npy_b64(img),
+                          "format": "npy"})
+    _post(url, "/close", {"stream": "t1"})
+    for s in ("t1", "t2"):
+        _post(url, "/initialize", {"stream": s, "image": _npy_b64(img),
+                                   "format": "npy", "bbox": [10, 10, 20, 20]})
+    # keep t1 alive past the 1.5s ttl while t2 goes idle
+    deadline = _time.monotonic() + 3.2
+    while _time.monotonic() < deadline:
+        _post(url, "/track", {"stream": "t1", "image": _npy_b64(img),
+                              "format": "npy"})
+        _time.sleep(0.3)
+    code, _ = _status_of(url, "/track",
+                         {"stream": "t1", "image": _npy_b64(img),
+                          "format": "npy"})
+    assert code == 200  # active stream survived
+    code, body = _status_of(url, "/track",
+                            {"stream": "t2", "image": _npy_b64(img),
+                             "format": "npy"})
+    assert code == 404  # idle stream was evicted
+    _post(url, "/close", {"stream": "t1"})

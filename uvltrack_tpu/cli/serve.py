@@ -69,6 +69,10 @@ def _decode_image(payload: dict) -> np.ndarray:
     return img
 
 
+class TooManyStreams(RuntimeError):
+    """New-stream admission rejected by --max_streams (HTTP 429)."""
+
+
 class _LockstepDispatcher:
     """Coalesces concurrent /track requests into one StreamPool.submit per
     round. Handler threads block on a per-request event; the dispatcher
@@ -202,6 +206,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(404, {"error": str(e)})
         except (ValueError, TypeError) as e:
             return self._reply(400, {"error": str(e)})
+        except TooManyStreams as e:
+            return self._reply(429, {"error": str(e)})
         except (RuntimeError, TimeoutError) as e:
             # pool full / dispatch timeout: retryable server-side conditions
             return self._reply(503, {"error": str(e)})
@@ -218,17 +224,30 @@ class _Handler(BaseHTTPRequestHandler):
         if srv.pool is not None:
             with srv.lock:
                 box = srv.pool.open(stream, image, info)
+                srv.last_seen[stream] = time.monotonic()
             return {"stream": stream, "bbox": list(box)}
         with srv.lock:
-            tracker = srv.streams.get(stream) or srv.make_tracker()
+            tracker = srv.streams.get(stream)
+            if (tracker is None and srv.max_streams
+                    and len(srv.streams) >= srv.max_streams):
+                raise TooManyStreams(
+                    f"{len(srv.streams)} open streams (--max_streams "
+                    f"{srv.max_streams}); close one or retry later")
+            tracker = tracker or srv.make_tracker()
             out = tracker.initialize(image, info)
             srv.streams[stream] = tracker
+            srv.last_seen[stream] = time.monotonic()
         return {"stream": stream, "bbox": list(out["target_bbox"])}
 
     def _track(self, payload: dict) -> dict:
         stream = payload["stream"]
         image = _decode_image(payload)
         srv = self.server
+        with srv.lock:
+            known = (stream in srv.pool.slot_of if srv.pool is not None
+                     else stream in srv.streams)
+            if known:  # never resurrect an evicted/unknown stream's ttl
+                srv.last_seen[stream] = time.monotonic()
         t0 = time.perf_counter()
         if srv.pool is not None:
             out = srv.dispatcher.track(stream, image)
@@ -255,15 +274,63 @@ class _Handler(BaseHTTPRequestHandler):
         if srv.pool is not None:
             with srv.lock:
                 srv.pool.close(stream)  # raises LookupError -> 404
+                srv.last_seen.pop(stream, None)
             return {"stream": stream, "closed": True}
-        if srv.streams.pop(stream, None) is None:
+        with srv.lock:
+            gone = srv.streams.pop(stream, None)
+            srv.last_seen.pop(stream, None)
+        if gone is None:
             raise LookupError(f"stream {stream!r} not initialized")
         return {"stream": stream, "closed": True}
 
 
+class _StreamReaper:
+    """Evicts streams idle for longer than ttl_s (last_seen stamped at every
+    /initialize//track request): a camera that silently disappears must not
+    hold a pool slot (lockstep capacity is fixed) or a Tracker's device
+    state forever. Runs as a daemon; stop() joins it."""
+
+    def __init__(self, server, ttl_s: float):
+        self.server = server
+        self.ttl = ttl_s
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self.thread.join(timeout=10)
+
+    def _evict_idle(self):
+        srv = self.server
+        now = time.monotonic()
+        with srv.lock:
+            idle = [s for s, t in srv.last_seen.items()
+                    if now - t > self.ttl]
+            for s in idle:
+                srv.last_seen.pop(s, None)
+                if srv.pool is not None:
+                    try:
+                        srv.pool.close(s)
+                    except LookupError:
+                        pass
+                else:
+                    srv.streams.pop(s, None)
+        return idle
+
+    def _run(self):
+        period = max(min(self.ttl / 4.0, 10.0), 0.05)
+        while not self._stop.wait(period):
+            for s in self._evict_idle():
+                if self.server.verbose:
+                    print(f"[reaper] evicted idle stream {s!r}", flush=True)
+
+
 def make_server(proto_tracker, host: str = "127.0.0.1", port: int = 0,
                 verbose: bool = False, lockstep: int = 0,
-                batch_window: float = 0.05, mesh=None) -> ThreadingHTTPServer:
+                batch_window: float = 0.05, mesh=None,
+                max_streams: int = 0,
+                stream_ttl: float = 0.0) -> ThreadingHTTPServer:
     """Wrap an existing Tracker as the prototype. Default mode: every stream
     is a fresh Tracker sharing the prototype's JitTracker (weights +
     compiled step). lockstep>0: a StreamPool of that many slots + a
@@ -274,10 +341,13 @@ def make_server(proto_tracker, host: str = "127.0.0.1", port: int = 0,
     server = ThreadingHTTPServer((host, port), _Handler)
     server.streams = {}
     server.counters = {}  # /stats: per-stream frames/seconds/last_score
+    server.last_seen = {}  # stream -> monotonic time of last request
+    server.max_streams = int(max_streams)  # per-stream mode admission cap
     server.lock = threading.Lock()
     server.verbose = verbose
     server.pool = None
     server.dispatcher = None
+    server.reaper = None
     if lockstep > 0:
         from ..track.pool import StreamPool
 
@@ -287,6 +357,8 @@ def make_server(proto_tracker, host: str = "127.0.0.1", port: int = 0,
             tokenizer=proto_tracker.tokenizer, mesh=mesh)
         server.dispatcher = _LockstepDispatcher(server.pool, server.lock,
                                                 batch_window)
+    if stream_ttl > 0:
+        server.reaper = _StreamReaper(server, stream_ttl)
     server.make_tracker = lambda: Tracker(
         proto_tracker.cfg, proto_tracker.jt.model, proto_tracker.jt.variables,
         tokenizer=proto_tracker.tokenizer, jit_tracker=proto_tracker.jt)
@@ -312,6 +384,14 @@ def main(argv=None):
     p.add_argument("--quant", default=None, choices=("int8",),
                    help="weight-only quantization of the ViT matmul kernels "
                         "at tracker build (cfg.TPU.WEIGHT_QUANT)")
+    p.add_argument("--max_streams", type=int, default=0,
+                   help="per-stream mode: reject new streams beyond this "
+                        "count with 429 (0 = unlimited; lockstep capacity "
+                        "is already bounded by S)")
+    p.add_argument("--stream_ttl", type=float, default=0.0, metavar="SEC",
+                   help="evict streams idle for this many seconds (0 = "
+                        "never): frees pool slots / tracker state when a "
+                        "client disappears without /close")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -334,7 +414,9 @@ def main(argv=None):
         mesh = make_mesh(data=-1, model=1)
     server = make_server(proto, args.host, args.port, verbose=args.verbose,
                          lockstep=args.lockstep,
-                         batch_window=args.batch_window, mesh=mesh)
+                         batch_window=args.batch_window, mesh=mesh,
+                         max_streams=args.max_streams,
+                         stream_ttl=args.stream_ttl)
     mode = (f"lockstep x{args.lockstep}" if args.lockstep else "per-stream")
     print(f"serving {args.tracker_param} ({cfg.TEST.MODE}, {mode}) on "
           f"http://{args.host}:{server.server_address[1]}  "
@@ -344,6 +426,8 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
+        if server.reaper is not None:
+            server.reaper.stop()
         if server.dispatcher is not None:
             server.dispatcher.stop()
         server.server_close()
