@@ -335,3 +335,24 @@ def test_tracker_build_applies_weight_quant(monkeypatch):
     cfg3.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN = 8
     bt = BatchTracker(cfg3, model, variables, num_streams=2)
     assert count_quantized(bt.variables["params"]) == 32
+
+    # ...and the quantized batched step actually runs (QuantizedTensor
+    # leaves ride through the vmapped jit): one lockstep round, boxes
+    # close to the fp pool's
+    rng2 = np.random.default_rng(12)
+    frames0 = rng2.integers(0, 255, size=(2, 60, 80, 3)).astype(np.uint8)
+    frames1 = rng2.integers(0, 255, size=(2, 60, 80, 3)).astype(np.uint8)
+    boxes0 = np.asarray([[20.0, 15.0, 20.0, 18.0],
+                         [30.0, 20.0, 16.0, 16.0]], np.float32)
+    cfg_fp = default_cfg()
+    cfg_fp.TPU.COMPUTE_DTYPE = "float32"
+    cfg_fp.TEST.SEARCH_SIZE = 64
+    cfg_fp.TEST.TEMPLATE_SIZE = 32
+    cfg_fp.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN = 8
+    boxes = {}
+    for name, c in (("fp", cfg_fp), ("q8", cfg3)):
+        t = BatchTracker(c, model, variables, num_streams=2)
+        t.initialize(list(frames0), boxes0)
+        packed = t.step(list(frames1))  # (S, 5) boxes+scores
+        boxes[name] = packed[:, :4]
+    np.testing.assert_allclose(boxes["q8"], boxes["fp"], atol=2.0)

@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--trace_dir", default=None)
     p.add_argument("--pallas", action="store_true",
                    help="force the Pallas attention kernel (cfg default on TPU)")
+    p.add_argument("--quant", default=None, choices=("int8",),
+                   help="weight-only int8 on the ViT matmul kernels "
+                        "(cfg.TPU.WEIGHT_QUANT): cost_analysis then shows "
+                        "the halved weight-byte traffic")
     p.add_argument("--xla", action="store_true",
                    help="force the XLA einsum attention backend")
     args = p.parse_args(argv)
@@ -47,8 +51,16 @@ def main(argv=None):
         cfg.TPU.USE_PALLAS_ATTENTION = True
     if args.xla:
         cfg.TPU.USE_PALLAS_ATTENTION = False
+    if args.quant:
+        cfg.TPU.WEIGHT_QUANT = args.quant
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    if args.quant and args.what == "forward":
+        # the tracker path quantizes in prepare_inference_variables; the
+        # raw-forward path does it here so cost_analysis sees int8 operands
+        from ..models.uvltrack import prepare_inference_variables
+
+        variables = prepare_inference_variables(cfg, variables)
 
     if args.what == "forward":
         tz, sx = cfg.DATA.TEMPLATE.SIZE, cfg.DATA.SEARCH.SIZE
