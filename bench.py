@@ -269,6 +269,20 @@ def extra_nlbbox(config: str, iters: int) -> dict:
     return {"tracked_fps_nlbbox_mode_b": round(iters / min(walls), 2)}
 
 
+def extra_quant_int8(config: str, iters: int, warmup: int) -> dict:
+    """Weight-only int8 primary (cfg.TPU.WEIGHT_QUANT — ops/quant.py): the
+    bs=1 step is weight-read bound, so the int8 stream is the largest
+    single-chip lever; this extra records its deferred FPS next to the fp
+    primary every round."""
+    os.environ["UVLTRACK_BENCH_QUANT"] = "int8"
+    _, pool = frame_pool()
+    cfg, model, variables, trk = make_tracker(config)
+    fps, lat = bench_single(trk, pool, warmup, iters, repeats=2)
+    return {"tracked_fps_quant_int8_b": round(fps, 2),
+            "quant_int8_sync_p50_ms": round(
+                float(np.percentile(lat, 50)) * 1e3, 3)}
+
+
 def extra_large(config: str, iters: int, warmup: int) -> dict:
     _, pool = frame_pool()
     _, _, _, trk_l = make_tracker("baseline_large")
@@ -359,6 +373,7 @@ SUBPROCESS_EXTRAS = {
     "primary": lambda cfg, it, wu: run_primary(cfg, it, wu),
     "multistream_b_sweep": lambda cfg, it, wu: extra_b_sweep(cfg, it),
     "nlbbox_mode": lambda cfg, it, wu: extra_nlbbox(cfg, it),
+    "quant_int8": lambda cfg, it, wu: extra_quant_int8(cfg, it, wu),
     "uvltrack_l": lambda cfg, it, wu: extra_large(cfg, it, wu),
     "multistream8_l": lambda cfg, it, wu: extra_multistream_l(cfg, it),
 }
@@ -449,8 +464,8 @@ def main(argv=None):
             "UVLTRACK_BENCH_EXTRAS", "1") == "1":
         # historical metrics first; the (slowest, bonus) sweep takes
         # whatever budget remains
-        for name in ("nlbbox_mode", "uvltrack_l", "multistream8_l",
-                     "multistream_b_sweep"):
+        for name in ("quant_int8", "nlbbox_mode", "uvltrack_l",
+                     "multistream8_l", "multistream_b_sweep"):
             remaining = budget - (time.perf_counter() - extras_t0)
             if remaining <= 30:
                 log(f"[{elapsed():.0f}s] extras budget exhausted; "
