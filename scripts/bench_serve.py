@@ -67,6 +67,10 @@ def _build_proto(tiny: bool, config: str):
     from uvltrack_tpu.eval.environment import env_settings, experiment_cfg_path
 
     cfg = load_cfg(experiment_cfg_path(env_settings(), "uvltrack", config))
+    import os
+
+    if os.environ.get("UVLTRACK_BENCH_QUANT"):  # int8 serving leg
+        cfg.TPU.WEIGHT_QUANT = os.environ["UVLTRACK_BENCH_QUANT"]
     return cfg, build_tracker(cfg, None)
 
 
