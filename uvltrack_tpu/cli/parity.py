@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--bbox", type=float, nargs=4, default=None)
     p.add_argument("--language", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quant", default=None, choices=("int8",),
+                   help="dump the weight-only-int8 path instead of fp "
+                        "(cfg.TPU.WEIGHT_QUANT): diff two dumps to measure "
+                        "quantization drift stage by stage at real weights")
     args = p.parse_args(argv)
 
     import jax
@@ -44,6 +48,8 @@ def main(argv=None):
     cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
                                        args.config))
     cfg.TPU.COMPUTE_DTYPE = "float32"  # parity dumps in full precision
+    if args.quant:
+        cfg.TPU.WEIGHT_QUANT = args.quant
     tracker = build_tracker(cfg, args.checkpoint)
     model, variables = tracker.jt.model, tracker.jt.variables
 
