@@ -292,6 +292,16 @@ def test_quantized_tracker_tracks_close_to_fp(monkeypatch):
     for bf, bq in zip(boxes["fp"], boxes["q8"]):
         np.testing.assert_allclose(np.asarray(bq), np.asarray(bf), atol=2.0)
 
+    # the scan-chunked path (what bench.py measures) must carry the
+    # QuantizedTensor leaves through lax.scan too
+    t = Tracker(cfgmk(True), model, variables, tokenizer=None)
+    t.initialize(frames[0], {"init_bbox": [30.0, 20.0, 20.0, 24.0]})
+    packed = t.track_many(frames[1:], chunk=3)
+    assert np.isfinite(np.asarray(packed)).all()
+    np.testing.assert_allclose(np.asarray(packed)[:, :4],
+                               np.stack([np.asarray(b) for b in boxes["q8"]]),
+                               atol=1e-3)
+
 
 def test_tracker_build_applies_weight_quant(monkeypatch):
     """cfg.TPU.WEIGHT_QUANT='int8' quantizes the JitTracker's variables at
