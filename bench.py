@@ -464,8 +464,11 @@ def main(argv=None):
             "UVLTRACK_BENCH_EXTRAS", "1") == "1":
         # historical metrics first; the (slowest, bonus) sweep takes
         # whatever budget remains
-        for name in ("quant_int8", "nlbbox_mode", "uvltrack_l",
-                     "multistream8_l", "multistream_b_sweep"):
+        # historical metrics first (CLAUDE.md records them every round);
+        # the new quant leg and the (slowest, bonus) sweep take whatever
+        # budget remains — a cold int8 compile must not starve them
+        for name in ("nlbbox_mode", "uvltrack_l", "multistream8_l",
+                     "quant_int8", "multistream_b_sweep"):
             remaining = budget - (time.perf_counter() - extras_t0)
             if remaining <= 30:
                 log(f"[{elapsed():.0f}s] extras budget exhausted; "

@@ -81,7 +81,7 @@ def stage_quant(rounds: int, iters: int):
     legs = {"int8": [], "fp": []}
     for _ in range(rounds):
         for name, env in (("int8", {"UVLTRACK_BENCH_QUANT": "int8"}),
-                          ("fp", {})):
+                          ("fp", {"UVLTRACK_BENCH_QUANT": ""})):
             env = dict(env, UVLTRACK_BENCH_EXTRAS="0",
                        UVLTRACK_BENCH_ITERS=str(iters))
             proc, result = run([sys.executable, "-u",
@@ -138,6 +138,8 @@ def main(argv=None):
             ("bench", stage_bench),
         ]
         for name, fn in stages:
+            with open(LOCK, "w") as f:  # heartbeat: staleness is measured
+                f.write(f"{os.getpid()} {time.time()}\n")  # per stage, not per run
             if name in skip:
                 log(name, {"ok": None, "skipped": True})
                 continue

@@ -323,3 +323,39 @@ def test_stream_ttl_evicts_idle(server_url_limited):
                              "format": "npy"})
     assert code == 404  # idle stream was evicted
     _post(url, "/close", {"stream": "t1"})
+
+
+def test_reaper_spares_in_flight_and_drops_counters():
+    """_StreamReaper._evict_idle: (a) a stream whose frame is waiting in
+    the lockstep dispatcher is mid-request, never idle — evicting it would
+    fail the whole in-flight round; (b) eviction removes the stream's
+    /stats counters entry, so stream churn cannot grow /stats without
+    bound. Regression tests for the round-3 review findings (both direct
+    unit tests on a stub server — no HTTP, no compile)."""
+    import types
+
+    from uvltrack_tpu.cli.serve import _StreamReaper
+
+    class _Pool:
+        def __init__(self):
+            self.closed = []
+
+        def close(self, s):
+            self.closed.append(s)
+
+    srv = types.SimpleNamespace(
+        lock=threading.Lock(),
+        last_seen={"busy": 0.0, "idle": 0.0},  # both far older than any ttl
+        counters={"busy": {"frames": 1}, "idle": {"frames": 1}},
+        dispatcher=types.SimpleNamespace(pending={"busy": object()}),
+        pool=_Pool(), streams={}, verbose=False)
+    reaper = _StreamReaper(srv, ttl_s=3600.0)  # thread idles; we call direct
+    try:
+        evicted = reaper._evict_idle()
+    finally:
+        reaper.stop()
+    assert evicted == ["idle"]
+    assert srv.pool.closed == ["idle"]
+    assert "busy" in srv.last_seen and "busy" in srv.counters
+    assert "idle" not in srv.counters, "/stats must forget evicted streams"
+    assert "idle" not in srv.last_seen

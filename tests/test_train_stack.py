@@ -248,6 +248,41 @@ def test_grad_accum_rejects_indivisible_batch():
         step(create_train_state(variables, tx), batch)
 
 
+def test_split_microbatches_axis_rule():
+    """_split_microbatches must split the BATCH axis for every documented
+    leaf form (actor.py's leaf inventory): ndim>=3 leaves are frame-major
+    (n, B, ...) -> axis 1; ndim<=2 leaves are batch-leading — text/text_mask
+    (B, Nt), flag (B,) or (B, 1) -> axis 0. Regression: the old ndim>=2
+    rule sliced a (B, Nt) text's TOKEN axis and crashed on (B, 1) flags."""
+    from uvltrack_tpu.train.step import _split_microbatches
+
+    b, k, nt = 4, 2, 6
+    batch = {
+        "search_images": jnp.arange(2 * b * 8 * 8 * 3, dtype=jnp.float32)
+        .reshape(2, b, 8, 8, 3),
+        "search_anno": jnp.arange(2 * b * 4, dtype=jnp.float32)
+        .reshape(2, b, 4),
+        "text_2d": jnp.arange(b * nt, dtype=jnp.int32).reshape(b, nt),
+        "flag": jnp.arange(b, dtype=jnp.int32),
+        "flag_2d": jnp.arange(b, dtype=jnp.int32).reshape(b, 1),
+    }
+    micro = _split_microbatches(batch, k)
+    assert micro["search_images"].shape == (k, 2, b // k, 8, 8, 3)
+    assert micro["search_anno"].shape == (k, 2, b // k, 4)
+    assert micro["text_2d"].shape == (k, b // k, nt)
+    assert micro["flag"].shape == (k, b // k)
+    assert micro["flag_2d"].shape == (k, b // k, 1)
+    # microbatch i must hold rows [i*B/k, (i+1)*B/k) of every leaf — whole
+    # samples, with token rows intact
+    np.testing.assert_array_equal(np.asarray(micro["text_2d"][1]),
+                                  np.asarray(batch["text_2d"][b // k:]))
+    np.testing.assert_array_equal(
+        np.asarray(micro["search_images"][1]),
+        np.asarray(batch["search_images"][:, b // k:]))
+    np.testing.assert_array_equal(np.asarray(micro["flag_2d"][0, :, 0]),
+                                  np.asarray(batch["flag"][:b // k]))
+
+
 def test_checkpoint_async_save_roundtrip_and_join(tmp_path):
     """save_async: the write happens off-thread; epochs()/restore join the
     in-flight save so the checkpoint is always visible through the manager

@@ -266,6 +266,11 @@ class _Handler(BaseHTTPRequestHandler):
             c["frames"] += 1
             c["seconds"] += time.perf_counter() - t0
             c["last_score"] = result["score"]
+            # stamp at COMPLETION too: a cold-compile step/round can run
+            # far longer than the ttl, and the arrival stamp alone would
+            # make every participating stream look idle the moment the
+            # lock releases — the reaper would evict right after success
+            srv.last_seen[stream] = time.monotonic()
         return result
 
     def _close(self, payload: dict) -> dict:
@@ -275,10 +280,12 @@ class _Handler(BaseHTTPRequestHandler):
             with srv.lock:
                 srv.pool.close(stream)  # raises LookupError -> 404
                 srv.last_seen.pop(stream, None)
+                srv.counters.pop(stream, None)
             return {"stream": stream, "closed": True}
         with srv.lock:
             gone = srv.streams.pop(stream, None)
             srv.last_seen.pop(stream, None)
+            srv.counters.pop(stream, None)
         if gone is None:
             raise LookupError(f"stream {stream!r} not initialized")
         return {"stream": stream, "closed": True}
@@ -305,10 +312,16 @@ class _StreamReaper:
         srv = self.server
         now = time.monotonic()
         with srv.lock:
+            # a stream waiting in the lockstep dispatcher is mid-request,
+            # not idle — evicting it would fail its (and potentially the
+            # whole round's) in-flight dispatch
+            in_flight = (set(srv.dispatcher.pending)
+                         if srv.dispatcher is not None else set())
             idle = [s for s, t in srv.last_seen.items()
-                    if now - t > self.ttl]
+                    if now - t > self.ttl and s not in in_flight]
             for s in idle:
                 srv.last_seen.pop(s, None)
+                srv.counters.pop(s, None)
                 if srv.pool is not None:
                     try:
                         srv.pool.close(s)

@@ -80,6 +80,18 @@ def attention_qkv_core(qkv: jnp.ndarray, heads: int,
     return out.transpose(0, 2, 1, 3).reshape(b, n, heads * d)
 
 
+def _as_key_bias(bias, b: int, n: int):
+    """THE key-padding-bias contract, shared by every fused entry point:
+    None -> zeros (no masking); a (B, 1, 1, N) additive bias -> its (B, N)
+    fp32 form; any other shape -> None (only the generic composed path
+    handles it). Key padding is the only masking UVLTrack uses."""
+    if bias is None:
+        return jnp.zeros((b, n), jnp.float32)
+    if bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+        return bias[:, 0, 0, :].astype(jnp.float32)
+    return None
+
+
 def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
                           heads: int, bias: jnp.ndarray | None = None,
                           compute_dtype=None, eps: float = 1e-6) -> jnp.ndarray:
@@ -97,13 +109,7 @@ def attention_ln_qkv_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
     from . import pallas_attention as pa
 
     b, n, c = x.shape
-    # key-padding bias (the only masking UVLTrack uses) in (B, N) form;
-    # None = some other bias shape, which only the generic path handles
-    key_bias = None
-    if bias is None:
-        key_bias = jnp.zeros((b, n), jnp.float32)
-    elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
-        key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+    key_bias = _as_key_bias(bias, b, n)
     if (_BACKEND == "pallas" and key_bias is not None and pa._HAS_PALLAS
             and pa._on_tpu() and n >= pa.min_seq_len()):
         import os
@@ -187,11 +193,7 @@ def attention_block_core(x: jnp.ndarray, ln_scale, ln_bias, w_qkv, b_qkv,
     from . import pallas_attention as pa
 
     b, n, c = x.shape
-    key_bias = None
-    if bias is None:
-        key_bias = jnp.zeros((b, n), jnp.float32)
-    elif bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
-        key_bias = bias[:, 0, 0, :].astype(jnp.float32)
+    key_bias = _as_key_bias(bias, b, n)
     if (_BACKEND == "pallas" and key_bias is not None and pa._HAS_PALLAS
             and pa._on_tpu() and n >= pa.min_seq_len()):
         import os

@@ -299,7 +299,6 @@ def _ln_qkv_attn_proj_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, wp_ref,
     (N, C) pre-proj attention output never round-trips HBM. Valid only when
     the residual branch has no LayerScale/DropPath (the shipped configs;
     vit.py falls back otherwise)."""
-    hd = heads * head_dim
     x_orig = x_ref[0]  # (N, C), residual operand in the stream dtype
     x = x_orig.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -313,24 +312,11 @@ def _ln_qkv_attn_proj_kernel(x_ref, g_ref, b_ref, w_ref, wb_ref, wp_ref,
         precision=jax.lax.Precision.DEFAULT)
     qkv = (qkv + wb_ref[...].astype(jnp.float32)).astype(w_ref.dtype)
     bias = bias_ref[0].astype(jnp.float32)  # (1, N)
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * head_dim:(h + 1) * head_dim]
-        k = qkv[:, hd + h * head_dim:hd + (h + 1) * head_dim]
-        v = qkv[:, 2 * hd + h * head_dim:2 * hd + (h + 1) * head_dim]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT) * scale
-        e = jnp.exp(jnp.clip(s + bias, -_CLAMP, _CLAMP))
-        o = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT)
-        o = o * pl.reciprocal(jnp.sum(e, axis=-1, keepdims=True), approx=False)
-        # cast per head like the non-proj kernels cast on o_ref write, so
-        # the epilogue matmul sees the same bf16 attention output the
-        # composed path's proj Dense would read from HBM
-        outs.append(o.astype(wp_ref.dtype))
-    o_all = jnp.concatenate(outs, axis=-1)  # (N, H*D)
+    # per-head cast to wp's dtype (like the non-proj kernels cast on o_ref
+    # write), so the epilogue matmul sees the same bf16 attention output
+    # the composed path's proj Dense would read from HBM
+    o_all = _attn_heads_concat(qkv, bias, scale=scale, heads=heads,
+                               head_dim=head_dim, out_dtype=wp_ref.dtype)
     proj = jax.lax.dot_general(
         o_all, wp_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -36,16 +36,22 @@ def create_train_state(variables: dict, tx) -> TrainState:
 
 
 def _split_microbatches(batch: dict, k: int) -> dict:
-    """Reshape every batch leaf's B axis (axis 1 for the frame-major
-    (n, B, ...) arrays, axis 0 for 1-D (B,) leaves like flag) into k
-    leading microbatches: (k, n, B/k, ...) / (k, B/k) — the scan axis of
-    the gradient-accumulation loop."""
+    """Reshape every batch leaf's B axis into k leading microbatches — the
+    scan axis of the gradient-accumulation loop.
+
+    Axis rule, from the actor's documented leaf inventory (actor.py:67):
+    ndim >= 3 leaves are frame-major (n, B, ...) -> split axis 1 into
+    (k, n, B/k, ...); ndim <= 2 leaves are batch-leading — text/text_mask
+    (B, Nt), flag (B,) or (B, 1) -> split axis 0 into (k, B/k, ...). No
+    2-D frame-major leaf exists, so the rule is unambiguous."""
+    b = batch["flag"].shape[0]
 
     def split(x):
-        if x.ndim >= 2:
-            n, b = x.shape[0], x.shape[1]
-            return x.reshape(n, k, b // k, *x.shape[2:]).swapaxes(0, 1)
-        return x.reshape(k, x.shape[0] // k)
+        if x.ndim >= 3:
+            assert x.shape[1] == b, (x.shape, b)
+            return x.reshape(x.shape[0], k, b // k, *x.shape[2:]).swapaxes(0, 1)
+        assert x.shape[0] == b, (x.shape, b)
+        return x.reshape(k, b // k, *x.shape[1:])
 
     return jax.tree_util.tree_map(split, batch)
 
@@ -58,9 +64,13 @@ def make_train_step(model, tx, cfg):
     scales with B/accum while the optimizer sees the full effective batch;
     one compiled program, no host round-trips — beyond the reference,
     which has no accumulation). Microbatch grads are averaged under
-    TRAIN.REDUCTION='mean' (summed under 'sum'), making the update
-    identical to the unaccumulated full-batch step up to float summation
-    order."""
+    TRAIN.REDUCTION='mean' (summed under 'sum'). The update matches the
+    unaccumulated full-batch step exactly for the sample-decomposable
+    losses (focal, ce_mean, giou/l1); the weighted-ignore contrastive CE
+    (a ratio of sums over each microbatch's weights) and live-BN batch
+    statistics instead follow the reference's per-GPU DDP semantics —
+    each microbatch normalizes by its own sums, and batch_stats advance
+    from the last microbatch (see test_grad_accum_matches_full_batch_step)."""
     accum = int(getattr(cfg.TPU, "GRAD_ACCUM", 1) or 1)
 
     def train_step(state: TrainState, batch: dict):

@@ -189,6 +189,16 @@ class Trainer:
                 self._log(f"epoch {self.epoch} crashed (retry {retries}):\n"
                           + traceback.format_exc())
                 self.epoch -= 1
+                # consume any deferred async-save error FIRST: letting it
+                # re-raise out of has_checkpoint()/restore() (which join the
+                # writer) would replace the fail-safe recovery path with a
+                # stale disk error; the restore below reads the last save
+                # that actually landed
+                try:
+                    self.ckpt.wait()
+                except Exception:
+                    self._log("async checkpoint save had failed:\n"
+                              + traceback.format_exc())
                 if self.ckpt.has_checkpoint():
                     # safe even after donation: restore only reads the
                     # template's STRUCTURE (from_state_dict), never the
