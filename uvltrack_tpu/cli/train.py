@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (launch once per host; "
                         "coordinator via JAX_COORDINATOR_ADDRESS env)")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="config override, e.g. --set TPU.GRAD_ACCUM=2 "
+                        "(repeatable; applied after the experiment YAML)")
     args = p.parse_args(argv)
 
     import jax
@@ -52,6 +56,8 @@ def main(argv=None):
     settings = env_settings()
     from ..eval.environment import experiment_cfg_path, train_checkpoint_dir
     cfg = load_cfg(experiment_cfg_path(settings, args.script, args.config))
+    if args.overrides:
+        cfg.merge_from_list(args.overrides)
     if args.epochs:
         cfg.TRAIN.EPOCH = args.epochs
     if args.batch_size:

@@ -65,6 +65,25 @@ class CfgNode(dict):
             else:
                 super(CfgNode, self).__setitem__(k, v)
 
+    def merge_from_list(self, overrides) -> None:
+        """Apply `KEY.SUBKEY=value` command-line overrides (yacs-style,
+        cf. reference lib/config/__init__.py's yacs CfgNode). Values are
+        parsed with yaml.safe_load so `2`, `2.5e-4`, `true`, `[1,2]` and
+        quoted strings all work; unknown keys raise like merge_from_dict."""
+        for item in overrides:
+            key, sep, raw = item.partition("=")
+            if not sep:
+                raise ValueError(f"override {item!r} is not KEY=VALUE")
+            node, parts = self, key.strip().split(".")
+            for p in parts[:-1]:
+                if not isinstance(node.get(p), CfgNode):
+                    raise ValueError(f"{key}: {p} not a config section")
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise ValueError(f"{key} not exist in default config")
+            dict.__setitem__(node, leaf, yaml.safe_load(raw))
+
     def merge_from_file(self, filename: str) -> None:
         with open(filename) as f:
             data = yaml.safe_load(f)
