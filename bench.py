@@ -14,11 +14,12 @@ deferred readback) plus an "extra" dict with the other measured lines:
   - UVLTrack-L tracked FPS/chip (vs the 34 FPS 3090 baseline)
   - 8-stream UVLTrack-L lockstep aggregate FPS (BASELINE.json config 5)
 
-Extras run under a time budget (UVLTRACK_BENCH_BUDGET_S, default 600s,
+Extras run under a time budget (UVLTRACK_BENCH_BUDGET_S, default 900s,
 measured from the END of the primary so a cold ~13-min tunnel compile can't
-starve them) and each is fault-isolated; the headline JSON prints right
-after the primary AND again, complete, at the end — the last stdout JSON
-line is always parseable even if an outer timeout kills the extras.
+starve them) and each is fault-isolated; the headline JSON re-prints,
+cumulatively, after the primary and after EVERY completed extra — the last
+stdout JSON line is always parseable and an outer timeout loses at most
+the extra in flight.
 """
 
 from __future__ import annotations
@@ -462,8 +463,6 @@ def main(argv=None):
     extras_t0 = time.perf_counter()
     if config == "baseline_base" and os.environ.get(
             "UVLTRACK_BENCH_EXTRAS", "1") == "1":
-        # historical metrics first; the (slowest, bonus) sweep takes
-        # whatever budget remains
         # historical metrics first (CLAUDE.md records them every round);
         # the new quant leg and the (slowest, bonus) sweep take whatever
         # budget remains — a cold int8 compile must not starve them
@@ -480,6 +479,13 @@ def main(argv=None):
                 extra.update(result)
                 log(f"[{elapsed():.0f}s] {name}: " + " ".join(
                     f"{k}={v}" for k, v in result.items()))
+                # re-print the full headline after EVERY extra: the driver
+                # parses the LAST JSON line on stdout, so an outer timeout
+                # mid-extras loses at most the extra in flight, never one
+                # already measured (round 3's rc=124 lost 3 extras because
+                # the complete line printed only once at the very end)
+                print(json.dumps({**metric, "extra": dict(extra)}),
+                      flush=True)
             except Exception as e:
                 log(f"extra '{name}' failed: {type(e).__name__}: {e}")
 

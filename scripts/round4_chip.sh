@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-4 chip measurement sequence. Stages run SERIALLY: the tunnel serves
+# exactly one client at a time (DEVNOTES), so never parallelize these.
+# Ordered by VERDICT-round-3 value: int8 verdict (#2), train smoke (#3),
+# proj-epilogue 5-round A/B (#4), then a full bench validating the new
+# incremental headline printing (#1). Logs to output/round4_chip.log.
+set -u
+cd /root/repo
+mkdir -p output
+echo "=== round4 chip sequence start $(date) ===" >> output/round4_chip.log
+
+echo "--- stage 1: int8 A/B (3 interleaved rounds, tpu_return quant stage) ---" >> output/round4_chip.log
+timeout 5400 python -u scripts/tpu_return.py --skip prefix,proj,bench --rounds 3 \
+  >> output/round4_chip.log 2>&1
+echo "quant rc=$?" >> output/round4_chip.log
+
+echo "--- stage 2: train smoke on chip (async ckpt + GRAD_ACCUM=2) ---" >> output/round4_chip.log
+timeout 2700 python -m uvltrack_tpu.cli.train --config baseline_base \
+  --synthetic 3 --epochs 2 --batch_size 4 --save_dir /tmp/vt_r4 \
+  --set TPU.GRAD_ACCUM=2 --set TPU.COMPILE_CACHE=output/xla_cache \
+  >> output/round4_chip.log 2>&1
+echo "train rc=$?" >> output/round4_chip.log
+
+echo "--- stage 3: proj-epilogue A/B, 5 interleaved rounds ---" >> output/round4_chip.log
+timeout 7200 python -u scripts/bench_fused_prefix_ab.py --knob proj --rounds 5 --iters 192 \
+  > output/round4_proj_ab.json 2>> output/round4_chip.log
+echo "proj rc=$?" >> output/round4_chip.log
+
+echo "--- stage 4: full bench (incremental headline printing) ---" >> output/round4_chip.log
+timeout 3600 python -u bench.py > output/round4_bench.stdout 2>> output/round4_chip.log
+echo "bench rc=$?" >> output/round4_chip.log
+echo "=== round4 chip sequence done $(date) ===" >> output/round4_chip.log

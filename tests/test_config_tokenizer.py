@@ -32,6 +32,74 @@ def test_clone_deep_copies_lists():
     assert c.MODEL.BACKBONE.FUSION_LAYER[0] != -1
 
 
+def test_merge_from_list_scalars_and_lists():
+    c = default_cfg()
+    c.merge_from_list([
+        "TRAIN.EPOCH=7",
+        "TRAIN.LR=1e-4",            # pyyaml parses this as str; must coerce
+        "MODEL.HEAD.SOFTMAX_ONE=true",
+        "MODEL.BACKBONE.FUSION_LAYER=[1, 2]",
+        "TEST.MODE=BBOX",
+    ])
+    assert c.TRAIN.EPOCH == 7
+    assert c.TRAIN.LR == pytest.approx(1e-4) and isinstance(c.TRAIN.LR, float)
+    assert c.MODEL.HEAD.SOFTMAX_ONE is True
+    assert c.MODEL.BACKBONE.FUSION_LAYER == [1, 2]
+    assert c.TEST.MODE == "BBOX"
+
+
+def test_merge_from_list_numeric_coercion():
+    c = default_cfg()
+    c.merge_from_list(["TRAIN.CONT_WEIGHT=2"])   # int into float leaf
+    assert c.TRAIN.CONT_WEIGHT == 2.0 and isinstance(c.TRAIN.CONT_WEIGHT, float)
+    c.merge_from_list(["TPU.GRAD_ACCUM=4"])
+    assert c.TPU.GRAD_ACCUM == 4 and isinstance(c.TPU.GRAD_ACCUM, int)
+    c.merge_from_list(["TPU.GRAD_ACCUM=2e0"])    # numeric str into int leaf
+    assert c.TPU.GRAD_ACCUM == 2 and isinstance(c.TPU.GRAD_ACCUM, int)
+
+
+def test_merge_from_list_type_mismatch_raises():
+    c = default_cfg()
+    with pytest.raises(ValueError):
+        c.merge_from_list(["TRAIN.EPOCH=fast"])        # str into int
+    with pytest.raises(ValueError):
+        c.merge_from_list(["TRAIN.EPOCH=2.5"])         # fractional into int
+    with pytest.raises(ValueError):
+        c.merge_from_list(["MODEL.HEAD.SOFTMAX_ONE=1"])  # int into bool
+    with pytest.raises(ValueError):
+        c.merge_from_list(["TRAIN.LR=true"])           # bool into float
+
+
+def test_merge_from_list_sections():
+    c = default_cfg()
+    # dict value merges strictly into the section, preserving CfgNode
+    # attribute access and sibling keys
+    c.merge_from_list(["TPU={GRAD_ACCUM: 2}"])
+    assert c.TPU.GRAD_ACCUM == 2
+    assert isinstance(c.TPU, type(c)) and c.TPU.MESH_DATA == -1  # siblings intact
+    # scalar can never clobber a whole section
+    with pytest.raises(ValueError):
+        c.merge_from_list(["TPU=0"])
+    # unknown keys inside the dict override still raise
+    with pytest.raises(ValueError):
+        c.merge_from_list(["TPU={NO_SUCH: 1}"])
+
+
+def test_merge_from_list_errors():
+    c = default_cfg()
+    with pytest.raises(ValueError):
+        c.merge_from_list(["TRAIN.EPOCH"])             # no '='
+    with pytest.raises(ValueError):
+        c.merge_from_list(["TRAIN.NO_SUCH=1"])         # unknown leaf
+    with pytest.raises(ValueError):
+        c.merge_from_list(["NOPE.LR=1"])               # unknown section
+    with pytest.raises(ValueError):
+        c.merge_from_list(["TRAIN.LR.X=1"])            # leaf used as section
+    # `KEY=` parses to None and deliberately clears the leaf
+    c.merge_from_list(["TEST.MODE="])
+    assert c.TEST.MODE is None
+
+
 def test_load_baseline_base_yaml():
     c = load_cfg(os.path.join(REPO, "experiments/uvltrack/baseline_base.yaml"))
     assert c.MODEL.HIDDEN_DIM == 768

@@ -12,6 +12,45 @@ from typing import Any, Dict
 import yaml
 
 
+def _coerce_leaf(value: Any, old: Any, key: str) -> Any:
+    """Type-guard a CLI override against the default leaf's type.
+
+    Follows the reference's vendored-yacs semantics
+    (_check_and_coerce_cfg_value_type): same type passes, int widens to
+    float, numeric strings coerce to the target numeric type (pyyaml
+    parses `1e-4` as str), everything else is a hard error. None on either
+    side passes: `KEY=` deliberately clears, and an untyped default
+    accepts anything."""
+    if old is None or value is None or type(value) is type(old):
+        return value
+    # bool is an int subclass — guard it before the numeric coercions so
+    # `FLAG=1` can't silently flip a bool leaf (and `LR=true` can't become
+    # 1.0)
+    if isinstance(old, bool) or isinstance(value, bool):
+        raise ValueError(
+            f"{key}: cannot override {type(old).__name__} leaf with "
+            f"{value!r} ({type(value).__name__})")
+    if isinstance(old, float) and isinstance(value, int):
+        return float(value)
+    if isinstance(old, (int, float)) and isinstance(value, str):
+        try:
+            num = float(value)
+        except ValueError:
+            raise ValueError(
+                f"{key}: cannot coerce {value!r} to "
+                f"{type(old).__name__}") from None
+        if isinstance(old, float):
+            return num
+        if num.is_integer():
+            return int(num)
+        raise ValueError(f"{key}: cannot coerce {value!r} to int")
+    if isinstance(old, tuple) and isinstance(value, list):
+        return tuple(value)
+    raise ValueError(
+        f"{key}: override type {type(value).__name__} does not match "
+        f"default leaf type {type(old).__name__} (value {value!r})")
+
+
 class CfgNode(dict):
     """dict subclass with attribute access. Values that are dicts are wrapped."""
 
@@ -69,7 +108,13 @@ class CfgNode(dict):
         """Apply `KEY.SUBKEY=value` command-line overrides (yacs-style,
         cf. reference lib/config/__init__.py's yacs CfgNode). Values are
         parsed with yaml.safe_load so `2`, `2.5e-4`, `true`, `[1,2]` and
-        quoted strings all work; unknown keys raise like merge_from_dict."""
+        quoted strings all work; unknown keys raise like merge_from_dict.
+        The parsed value is type-checked against the default leaf (mirroring
+        yacs _check_and_coerce_cfg_value_type): pyyaml leaves dotless
+        exponent floats like `1e-4` as str, so numeric strings are coerced
+        to the leaf's numeric type and real mismatches raise instead of
+        silently installing a str. Dict values merge strictly into the
+        target section; a scalar can never clobber a whole section."""
         for item in overrides:
             key, sep, raw = item.partition("=")
             if not sep:
@@ -82,7 +127,18 @@ class CfgNode(dict):
             leaf = parts[-1]
             if leaf not in node:
                 raise ValueError(f"{key} not exist in default config")
-            dict.__setitem__(node, leaf, yaml.safe_load(raw))
+            value = yaml.safe_load(raw)
+            old = node[leaf]
+            if isinstance(old, CfgNode):
+                if not isinstance(value, dict):
+                    raise ValueError(
+                        f"{key}: cannot replace config section with "
+                        f"{type(value).__name__}")
+                old.merge_from_dict(value, key.strip())
+            else:
+                # goes through __setitem__, so a dict value on a dict-typed
+                # (non-section) leaf still gets CfgNode-wrapped
+                node[leaf] = _coerce_leaf(value, old, key.strip())
 
     def merge_from_file(self, filename: str) -> None:
         with open(filename) as f:
