@@ -6,6 +6,8 @@ from uvltrack_tpu.track.batch import BatchTracker
 from test_model import tiny_model, tiny_inputs
 from test_tracker import tiny_cfg
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 
 @pytest.fixture(scope="module")
 def bt():

@@ -11,6 +11,8 @@ from uvltrack_tpu.track.batch import BatchTracker
 from test_model import tiny_model, tiny_inputs
 from test_tracker import tiny_cfg
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 
 def _dataset(tmp_path, lengths=(4, 6, 3)):
     rng = np.random.default_rng(0)

@@ -18,6 +18,8 @@ from uvltrack_tpu.config import load_cfg
 from uvltrack_tpu.models.uvltrack import (UVLTrack, build_model,
                                           cast_inference_variables, init_model)
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 FEAT = 16  # 256 / 16
 
 

@@ -3,6 +3,8 @@ devices or datasets."""
 
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 
 @pytest.mark.parametrize("module", [
     "uvltrack_tpu.cli.train",

@@ -303,3 +303,57 @@ def test_export_passthrough_and_bf16(variables, tmp_path):
 
     t = torch.from_numpy(exported16["backbone.vit.blocks.0.attn.qkv.weight"].copy())
     assert t.dtype == torch.float32
+
+
+def test_runbook_random_pth_roundtrip(tmp_path, monkeypatch):
+    """RUNBOOK.md step 2 smoke: a reference-format .pth.tar of random
+    weights (models/convert.py::save_torch_checkpoint) drives the
+    cli/parity dump end-to-end — the exact command a user runs the day
+    the released checkpoints arrive, minus the real weights."""
+    from uvltrack_tpu.cli import parity as cli_parity
+    from uvltrack_tpu.config import load_cfg
+    from uvltrack_tpu.eval.environment import reset_env_cache
+    from uvltrack_tpu.models import bert as bert_mod
+    from uvltrack_tpu.models import uvltrack as uv
+    from uvltrack_tpu.models.convert import save_torch_checkpoint
+    from uvltrack_tpu.models.vit import VIT_VARIANTS
+
+    monkeypatch.setitem(VIT_VARIANTS, "base",
+                        dict(embed_dim=32, depth=2, num_heads=4))
+    tiny_bert = bert_mod.BertConfig(vocab_size=64, hidden_size=32,
+                                    num_layers=1, num_heads=4,
+                                    intermediate_size=64, max_position=64)
+    monkeypatch.setattr(uv, "bert_config_from_type", lambda t: tiny_bert)
+
+    (tmp_path / "experiments" / "uvltrack").mkdir(parents=True)
+    yaml_path = tmp_path / "experiments" / "uvltrack" / "tiny_smoke.yaml"
+    yaml_path.write_text(
+        "DATA: {TEMPLATE: {SIZE: 32}, SEARCH: {SIZE: 64}}\n"
+        "MODEL:\n"
+        "  HIDDEN_DIM: 32\n"
+        "  HEAD: {HEAD_DIM: 32}\n"
+        "  BACKBONE: {FUSION_LAYER: [1], CONT_LOSS_LAYER: [1]}\n"
+        "TEST: {TEMPLATE_SIZE: 32, SEARCH_SIZE: 64, TEMPLATE_FACTOR: 2.0,\n"
+        "       SEARCH_FACTOR: 4.0, MODE: BBOX, EPOCH: 1}\n")
+    monkeypatch.setenv("UVLTRACK_REPO", str(tmp_path))
+    reset_env_cache()
+    try:
+        # random weights, exported in the reference's {'net': ...} format
+        cfg = load_cfg(str(yaml_path))
+        model = uv.build_model(cfg)
+        variables = uv.init_model(model, cfg, jax.random.PRNGKey(3))
+        ckpt = str(tmp_path / "UVLTrack_ep0300.pth.tar")
+        save_torch_checkpoint(ckpt, variables["params"],
+                              variables.get("batch_stats", {}), epoch=300)
+
+        out = str(tmp_path / "parity_dump.npz")
+        cli_parity.main(["--checkpoint", ckpt, "--config", "tiny_smoke",
+                         "--out", out])
+    finally:
+        reset_env_cache()
+
+    dump = np.load(out)
+    for k in ("template", "search", "prompt", "out_cls_score_test",
+              "out_cont_score", "out_bbox_map", "out_pred_boxes"):
+        assert k in dump.files, f"missing stage {k}: {sorted(dump.files)}"
+        assert np.isfinite(dump[k]).all(), k

@@ -21,6 +21,8 @@ from uvltrack_tpu.models.convert import convert_uvltrack  # noqa: E402
 from test_convert import _reference_style_state  # noqa: E402
 from test_model import TINY, NT, tiny_inputs, tiny_model  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 C = TINY["embed_dim"]
 HEADS = TINY["num_heads"]
 NZ = 4  # (32/16)^2

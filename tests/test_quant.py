@@ -14,7 +14,7 @@ from uvltrack_tpu.ops.quant import (QuantizedTensor, count_quantized,
                                     materialize_weight, quant_dot,
                                     quantize_vit_params, quantize_weight)
 
-pytestmark = pytest.mark.skipif(not pa._HAS_PALLAS, reason="no pallas")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not pa._HAS_PALLAS, reason="no pallas")]
 
 
 def test_quantize_weight_error_bound_and_layout():

@@ -14,6 +14,8 @@ cv2 = pytest.importorskip("cv2")
 
 from test_train_stack import micro_cfg, micro_model
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 
 def _write_lasot(root, n_seq=2, n_frames=24):
     rng = np.random.default_rng(0)

@@ -40,6 +40,8 @@ from uvltrack_tpu.config import load_cfg  # noqa: E402
 from uvltrack_tpu.models.convert import convert_uvltrack  # noqa: E402
 from uvltrack_tpu.models.uvltrack import UVLTrack, build_model  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 B = 2

@@ -20,6 +20,8 @@ from uvltrack_tpu.track.tracker import Tracker
 from test_model import tiny_model, tiny_inputs
 from test_tracker import tiny_cfg
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 
 @pytest.fixture(scope="module")
 def server_url():

@@ -14,6 +14,8 @@ import torch.nn.functional as F  # noqa: E402
 from uvltrack_tpu.models.bert import BertConfig, BertLayer, bert_attention_bias  # noqa: E402
 from uvltrack_tpu.models.vit import VitBlock  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 DIM, HEADS, N, B = 32, 4, 12, 2
 
 

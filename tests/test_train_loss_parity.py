@@ -24,6 +24,8 @@ from test_convert import _reference_style_state  # noqa: E402
 from test_full_model_parity import FEAT, TorchOracle, _t  # noqa: E402
 from test_model import NT, tiny_inputs, tiny_model  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 
 def _cfg():
     c = default_cfg()

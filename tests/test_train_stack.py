@@ -20,6 +20,8 @@ from uvltrack_tpu.train.step import (create_train_state, jit_sharded_train_step,
                                      make_train_step)
 from uvltrack_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from `pytest -m 'not slow'`
+
 
 def micro_cfg():
     c = default_cfg()
