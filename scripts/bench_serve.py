@@ -75,14 +75,14 @@ def _build_proto(tiny: bool, config: str):
 
 
 def _run_leg(proto, streams: int, frames: int, lockstep: bool,
-             frame_hw) -> float:
+             frame_hw, mesh=None) -> float:
     """Returns aggregate tracked FPS across all client threads (warmup — the
     first 25% of frames, min 2 — excluded via a mid-run barrier restart)."""
     from uvltrack_tpu.cli.serve import make_server
 
     server = make_server(proto, port=0,
                          lockstep=streams if lockstep else 0,
-                         batch_window=0.25)
+                         batch_window=0.25, mesh=mesh)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{server.server_address[1]}"
     rng = np.random.default_rng(0)
@@ -143,26 +143,49 @@ def main(argv=None):
     p.add_argument("--config", default="baseline_base")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test model on CPU: harness smoke, not speed")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the lockstep leg's stream slots over an "
+                        "N-device jax mesh (cli/serve --multichip path); "
+                        "with --tiny, forces N virtual CPU devices — the "
+                        "multichip serving dryrun artifact")
     args = p.parse_args(argv)
+
+    if args.mesh and args.tiny:
+        # must happen before any jax import initializes the backend
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags +
+                f" --xla_force_host_platform_device_count={args.mesh}"
+            ).strip()
 
     proto = None
     cfg, proto = _build_proto(args.tiny, args.config)
     hw = (80, 100) if args.tiny else (720, 1280)
+    mesh = None
+    if args.mesh:
+        from uvltrack_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh, model=1)
 
     fps_per_stream = _run_leg(proto, args.streams, args.frames,
                               lockstep=False, frame_hw=hw)
     print(f"per-stream mode: {fps_per_stream:.1f} aggregate FPS",
           file=sys.stderr)
     fps_lockstep = _run_leg(proto, args.streams, args.frames,
-                            lockstep=True, frame_hw=hw)
-    print(f"lockstep mode:   {fps_lockstep:.1f} aggregate FPS",
+                            lockstep=True, frame_hw=hw, mesh=mesh)
+    print(f"lockstep mode:   {fps_lockstep:.1f} aggregate FPS"
+          + (f" (slots sharded over {args.mesh}-device mesh)"
+             if mesh is not None else ""),
           file=sys.stderr)
     print(json.dumps({
         "streams": args.streams, "frames_per_stream": args.frames,
         "fps_http_per_stream_mode": round(fps_per_stream, 2),
         "fps_http_lockstep_mode": round(fps_lockstep, 2),
         "lockstep_over_per_stream": round(fps_lockstep / fps_per_stream, 3),
-        "tiny": bool(args.tiny),
+        "tiny": bool(args.tiny), "mesh": args.mesh,
     }))
 
 

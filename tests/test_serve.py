@@ -361,3 +361,65 @@ def test_reaper_spares_in_flight_and_drops_counters():
     assert "busy" in srv.last_seen and "busy" in srv.counters
     assert "idle" not in srv.counters, "/stats must forget evicted streams"
     assert "idle" not in srv.last_seen
+
+
+# --------------------------------------------------- multichip (mesh) mode
+
+
+def test_lockstep_mesh_matches_standalone():
+    """cli/serve --multichip path: lockstep slots sharded over the 8-device
+    virtual mesh produce the same boxes as a standalone single-stream
+    Tracker — the serving-side counterpart of
+    test_stream_pool.test_pool_sharded_over_mesh_matches_unsharded."""
+    from uvltrack_tpu.cli.serve import make_server as mk
+    from uvltrack_tpu.parallel.mesh import make_mesh
+
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    cfg = tiny_cfg()
+    proto = Tracker(cfg, model, variables, tokenizer=None)
+    mesh = make_mesh(data=8, model=1)
+    server = mk(proto, port=0, lockstep=2, batch_window=10.0, mesh=mesh)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        rng = np.random.default_rng(11)
+        first = rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+        frames = {s: [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+                      for _ in range(2)] for s in ("a", "b")}
+        boxes0 = {"a": [30, 20, 20, 24], "b": [10, 10, 30, 30]}
+        for s in ("a", "b"):
+            _post(url, "/initialize", {"stream": s, "image": _npy_b64(first),
+                                       "bbox": boxes0[s], "format": "npy"})
+        results = {"a": [], "b": []}
+        for i in range(2):
+            errs = []
+
+            def go(s, i=i):
+                try:
+                    results[s].append(_post(
+                        url, "/track", {"stream": s,
+                                        "image": _npy_b64(frames[s][i]),
+                                        "format": "npy"}))
+                except Exception as e:
+                    errs.append((s, e))
+
+            ts = [threading.Thread(target=go, args=(s,)) for s in ("a", "b")]
+            [t2.start() for t2 in ts]
+            [t2.join(timeout=600) for t2 in ts]
+            assert not errs, errs
+        for s in ("a", "b"):
+            t1 = Tracker(cfg, model, variables)
+            t1.initialize(first, {"init_bbox": list(boxes0[s])})
+            for got, f in zip(results[s], frames[s]):
+                want = t1.track(f)
+                np.testing.assert_allclose(got["bbox"], want["target_bbox"],
+                                           rtol=1e-5, atol=1e-4)
+    finally:
+        if server.dispatcher is not None:
+            server.dispatcher.stop()
+        server.shutdown()
+        server.server_close()
