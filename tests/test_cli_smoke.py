@@ -203,3 +203,48 @@ def test_cli_test_batched_end_to_end(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "cannot score locally" in out
     assert "AUC=" not in out
+
+
+def test_cli_export_stablehlo_roundtrip(tmp_path, monkeypatch, capsys):
+    """cli/export end-to-end on a tiny real model: jax.export the
+    forward_test program, serialize to disk, deserialize, and --check
+    that the restored StableHLO program reproduces the direct call."""
+    import json as _json
+
+    from uvltrack_tpu.cli import export as cli_export
+    from uvltrack_tpu.eval.environment import reset_env_cache
+    from uvltrack_tpu.models import bert as bert_mod
+    from uvltrack_tpu.models import uvltrack as uv
+    from uvltrack_tpu.models.vit import VIT_VARIANTS
+
+    monkeypatch.setitem(VIT_VARIANTS, "base",
+                        dict(embed_dim=32, depth=2, num_heads=4))
+    tiny_bert = bert_mod.BertConfig(vocab_size=64, hidden_size=32,
+                                    num_layers=1, num_heads=4,
+                                    intermediate_size=64, max_position=64)
+    monkeypatch.setattr(uv, "bert_config_from_type", lambda t: tiny_bert)
+
+    (tmp_path / "experiments" / "uvltrack").mkdir(parents=True)
+    (tmp_path / "experiments" / "uvltrack" / "tiny_smoke.yaml").write_text(
+        "DATA: {TEMPLATE: {SIZE: 32}, SEARCH: {SIZE: 64}}\n"
+        "MODEL:\n"
+        "  HIDDEN_DIM: 32\n"
+        "  HEAD: {HEAD_DIM: 32}\n"
+        "  BACKBONE: {FUSION_LAYER: [1], CONT_LOSS_LAYER: [1]}\n"
+        "TEST: {TEMPLATE_SIZE: 32, SEARCH_SIZE: 64, TEMPLATE_FACTOR: 2.0,\n"
+        "       SEARCH_FACTOR: 4.0, MODE: BBOX, EPOCH: 1}\n")
+    monkeypatch.setenv("UVLTRACK_REPO", str(tmp_path))
+    reset_env_cache()
+    out = str(tmp_path / "tiny.stablehlo")
+    try:
+        cli_export.main(["--config", "tiny_smoke", "--out", out, "--check"])
+    finally:
+        reset_env_cache()
+    printed = capsys.readouterr().out
+    assert "check: deserialized program matches the direct call" in printed
+    manifest = _json.loads(open(out + ".json").read())
+    assert manifest["outputs"] == ["bbox_map", "cls_score_test", "cont_score"]
+    assert manifest["bytes"] > 1000
+    import os as _os
+
+    assert _os.path.getsize(out) == manifest["bytes"]
