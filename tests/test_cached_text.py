@@ -79,6 +79,7 @@ def _run_tracker(cache_text, mode):
     return np.asarray(outs)
 
 
+@pytest.mark.slow  # ~100s/mode: full tracker compile, covered at unit level above
 @pytest.mark.parametrize("mode", ["BBOX", "NLBBOX"])
 def test_tracker_boxes_match_uncached(mode):
     a = _run_tracker(True, mode)

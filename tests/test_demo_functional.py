@@ -11,6 +11,7 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 
+@pytest.mark.slow  # ~80s: mp4 synth + full demo pipeline
 def test_demo_tracks_synthetic_video(tmp_path):
     from uvltrack_tpu.cli import demo
 
