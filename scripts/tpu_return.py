@@ -76,8 +76,10 @@ def stage_ab(knob: str, rounds: int, iters: int):
     return result
 
 
-def stage_quant(rounds: int, iters: int):
-    """Interleaved int8-vs-default primary runs (tunnel variance ~±10%)."""
+def stage_quant(rounds: int, iters: int, config: str = "baseline_base"):
+    """Interleaved int8-vs-default primary runs (tunnel variance ~±10%).
+    config selects the model: ViT-L at bs=1 is far more weight-bound than
+    ViT-B (304M params), so the int8 verdict is per-variant."""
     legs = {"int8": [], "fp": []}
     for _ in range(rounds):
         for name, env in (("int8", {"UVLTRACK_BENCH_QUANT": "int8"}),
@@ -86,14 +88,14 @@ def stage_quant(rounds: int, iters: int):
                        UVLTRACK_BENCH_ITERS=str(iters))
             proc, result = run([sys.executable, "-u",
                                 os.path.join(REPO, "bench.py"),
-                                "--extra", "primary"],
+                                "--extra", "primary", "--config", config],
                                env_extra=env, timeout_s=2400)
             if result and "fps_primary" in result:
                 legs[name].append(result["fps_primary"])
             else:
                 legs[name].append(None)
     good = {k: [v for v in vs if v] for k, vs in legs.items()}
-    out = {"int8_fps": legs["int8"], "fp_fps": legs["fp"]}
+    out = {"config": config, "int8_fps": legs["int8"], "fp_fps": legs["fp"]}
     if good["int8"] and good["fp"]:
         import statistics
 
@@ -118,6 +120,8 @@ def main(argv=None):
                    help="comma list of stages to skip: prefix,proj,quant,bench")
     p.add_argument("--rounds", type=int, default=2)
     p.add_argument("--iters", type=int, default=192)
+    p.add_argument("--config", default="baseline_base",
+                   help="model config for the quant stage (e.g. baseline_large)")
     args = p.parse_args(argv)
     skip = set(filter(None, args.skip.split(",")))
 
@@ -134,7 +138,8 @@ def main(argv=None):
         stages = [
             ("prefix", lambda: stage_ab("prefix", args.rounds, args.iters)),
             ("proj", lambda: stage_ab("proj", args.rounds, args.iters)),
-            ("quant", lambda: stage_quant(args.rounds, args.iters)),
+            ("quant", lambda: stage_quant(args.rounds, args.iters,
+                                          args.config)),
             ("bench", stage_bench),
         ]
         for name, fn in stages:
