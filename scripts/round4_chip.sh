@@ -7,12 +7,22 @@
 set -u
 cd /root/repo
 mkdir -p output
+LOCK=output/tpu_return.lock
 echo "=== round4 chip sequence start $(date) ===" >> output/round4_chip.log
 
 echo "--- stage 1: int8 A/B (3 interleaved rounds, tpu_return quant stage) ---" >> output/round4_chip.log
+# tpu_return.py takes and releases the lock itself (and refuses a fresh
+# foreign lock), so stage 1 must NOT hold it.
 timeout 5400 python -u scripts/tpu_return.py --skip prefix,proj,bench --rounds 3 \
   >> output/round4_chip.log 2>&1
 echo "quant rc=$?" >> output/round4_chip.log
+
+# Stages 2-4 are manual TPU work: hold the tunnel lock ourselves so a
+# probe-loop tpu_return.py can't start mid-stage (CLAUDE.md: one tunnel
+# client; "manual TPU work should check for it"). Refreshed per stage —
+# tpu_return treats a lock older than 4h as stale and each stage fits.
+echo "$$ $(date +%s)" > "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
 
 echo "--- stage 2: train smoke on chip (async ckpt + GRAD_ACCUM=2) ---" >> output/round4_chip.log
 timeout 2700 python -m uvltrack_tpu.cli.train --config baseline_base \
@@ -21,11 +31,13 @@ timeout 2700 python -m uvltrack_tpu.cli.train --config baseline_base \
   >> output/round4_chip.log 2>&1
 echo "train rc=$?" >> output/round4_chip.log
 
+echo "$$ $(date +%s)" > "$LOCK"
 echo "--- stage 3: proj-epilogue A/B, 5 interleaved rounds ---" >> output/round4_chip.log
 timeout 7200 python -u scripts/bench_fused_prefix_ab.py --knob proj --rounds 5 --iters 192 \
   > output/round4_proj_ab.json 2>> output/round4_chip.log
 echo "proj rc=$?" >> output/round4_chip.log
 
+echo "$$ $(date +%s)" > "$LOCK"
 echo "--- stage 4: full bench (incremental headline printing) ---" >> output/round4_chip.log
 timeout 3600 python -u bench.py > output/round4_bench.stdout 2>> output/round4_chip.log
 echo "bench rc=$?" >> output/round4_chip.log

@@ -83,6 +83,12 @@ def test_merge_from_list_sections():
     # unknown keys inside the dict override still raise
     with pytest.raises(ValueError):
         c.merge_from_list(["TPU={NO_SUCH: 1}"])
+    # the dict spelling gets the SAME leaf type guard as the dotted one:
+    # wrong types raise at parse time, numeric strings coerce
+    with pytest.raises(ValueError):
+        c.merge_from_list(["TPU={GRAD_ACCUM: fast}"])
+    c.merge_from_list(["TRAIN={LR: 1e-4}"])  # pyyaml str -> float leaf
+    assert c.TRAIN.LR == pytest.approx(1e-4) and isinstance(c.TRAIN.LR, float)
 
 
 def test_merge_from_list_errors():

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 import numpy as np
 
@@ -33,35 +32,17 @@ def export_forward(cfg, model, variables, batch: int = 1,
     """Returns (exported, args): the jax.export'd forward_test program on
     `batch`-sized inputs and the concrete example args it was traced with.
 
-    The param tree is an explicit argument (never a closure: constant-
-    folded weights make TPU compiles ~20x slower and would bake 700MB
-    into the artifact's HLO)."""
+    The traced function and example-argument recipe are the SHARED
+    `models.uvltrack.forward_test_fn/example_test_inputs` — the same pair
+    the driver compile check (__graft_entry__.entry) traces, so the
+    deployment artifact can never skew from the validated program."""
     import jax
-    import jax.numpy as jnp
     from jax import export as jexport
 
-    from ..models.uvltrack import UVLTrack
+    from ..models.uvltrack import example_test_inputs, forward_test_fn
 
-    tz, sx = int(cfg.DATA.TEMPLATE.SIZE), int(cfg.DATA.SEARCH.SIZE)
-    nt = int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN)
-    c = model.backbone.embed_dim
-    rng = np.random.default_rng(0)
-
-    def fn(variables, template, search, text_ids, text_mask, prompt, flag):
-        out = model.apply(variables, template, search, text_ids, text_mask,
-                          prompt, flag, method=UVLTrack.forward_test)
-        return out["bbox_map"], out["cls_score_test"], out["cont_score"]
-
-    args = (
-        variables,
-        jnp.asarray(rng.normal(size=(batch, tz, tz, 3)), jnp.float32),
-        jnp.asarray(rng.normal(size=(batch, sx, sx, 3)), jnp.float32),
-        jnp.asarray(rng.integers(0, model.backbone.bert.vocab_size,
-                                 size=(batch, nt)), jnp.int32),
-        jnp.ones((batch, nt), jnp.int32),
-        jnp.asarray(rng.normal(size=(batch, 3, c)), jnp.float32),
-        jnp.full((batch,), 2, jnp.int32),
-    )
+    fn = forward_test_fn(model)
+    args = (variables,) + example_test_inputs(cfg, model, batch=batch)
     kwargs = {}
     if platforms:
         kwargs["platforms"] = list(platforms)

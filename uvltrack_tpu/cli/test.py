@@ -87,6 +87,12 @@ def main(argv=None):
     p.add_argument("--quant", default=None, choices=("int8",),
                    help="weight-only quantization of the ViT matmul kernels "
                         "at tracker build (cfg.TPU.WEIGHT_QUANT; ops/quant.py)")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="config override (repeatable), e.g. "
+                        "--set TEST.MODE=NL — same yacs-style semantics as "
+                        "cli/train (strict keys, typed against the default "
+                        "leaf)")
     args = p.parse_args(argv)
 
     from ..config import load_cfg
@@ -98,6 +104,7 @@ def main(argv=None):
     settings = env_settings()
     cfg = load_cfg(experiment_cfg_path(settings, args.tracker_name,
                                        args.tracker_param))
+    cfg.merge_from_list(args.overrides)
     if args.quant:
         cfg.TPU.WEIGHT_QUANT = args.quant
 

@@ -22,12 +22,13 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--script", default="uvltrack")
     p.add_argument("--config", default="baseline_base")
-    p.add_argument("--save_dir", default="output",
-                   help="workspace root for logs AND (when not the default) "
-                        "checkpoints/train/<script>/<config>, matching the "
-                        "reference's --save_dir; the default keeps "
-                        "checkpoints at <repo>/checkpoints where cli/test "
-                        "auto-resolves them")
+    p.add_argument("--save_dir", default=None,
+                   help="workspace root for logs AND checkpoints/train/"
+                        "<script>/<config>, matching the reference's "
+                        "--save_dir; when omitted, logs go under ./output "
+                        "and checkpoints stay at <repo>/checkpoints where "
+                        "cli/test auto-resolves them (an explicit "
+                        "--save_dir output is honored literally)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic batches/epoch instead of real data")
@@ -118,14 +119,17 @@ def main(argv=None):
         make_train_step(model, tx, cfg), mesh, zero1=use_zero1, state=state)
     eval_step = jax.jit(make_eval_step(model, cfg))
 
-    if args.save_dir != "output":
+    if args.save_dir is not None:
         # reference semantics (lib/train/run_training.py: save_dir roots the
-        # workspace): an explicit --save_dir owns the checkpoint tree too
+        # workspace): an explicit --save_dir owns the checkpoint tree too —
+        # None is the sentinel so `--save_dir output` (or ./output) is
+        # honored literally instead of string-matching the default
         ckpt_dir = os.path.join(args.save_dir, "checkpoints", "train",
                                 args.script, args.config)
     else:
         ckpt_dir = train_checkpoint_dir(settings, args.script, args.config)
-    log_path = os.path.join(args.save_dir, "logs", f"{args.script}-{args.config}.log")
+    log_root = args.save_dir if args.save_dir is not None else "output"
+    log_path = os.path.join(log_root, "logs", f"{args.script}-{args.config}.log")
     trainer = Trainer(cfg, train_step, state, train_loader, val_loaders,
                       eval_step=eval_step, checkpoint_dir=ckpt_dir,
                       log_path=log_path, shard_fn=lambda b: shard_batch(mesh, b))

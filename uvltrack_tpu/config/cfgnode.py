@@ -102,7 +102,12 @@ class CfgNode(dict):
                     raise ValueError(f"{here}: cannot merge dict into non-dict")
                 self[k].merge_from_dict(v, here)
             else:
-                super(CfgNode, self).__setitem__(k, v)
+                # same type guard as the CLI path: a dict-valued --set
+                # override (`TPU={GRAD_ACCUM: fast}`) and a YAML leaf both
+                # land here, and neither may silently install a
+                # wrong-typed value (yacs _check_and_coerce semantics)
+                super(CfgNode, self).__setitem__(
+                    k, _coerce_leaf(v, self[k], here))
 
     def merge_from_list(self, overrides) -> None:
         """Apply `KEY.SUBKEY=value` command-line overrides (yacs-style,

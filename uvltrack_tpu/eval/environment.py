@@ -81,6 +81,14 @@ def env_settings(repo_dir: str | None = None) -> EnvSettings:
         for k, v in data.items():
             if hasattr(s, k):
                 setattr(s, k, v)
+            else:
+                # a typo'd root (e.g. DATA_DIR) silently pointing nowhere
+                # costs an eval run; say so once at load
+                import sys
+
+                print(f"local_paths.yaml: unknown key {k!r} ignored "
+                      f"(valid keys are EnvSettings fields, e.g. "
+                      f"tnl2k_path)", file=sys.stderr)
     for f_ in fields(s):
         env_key = f"UVLTRACK_{f_.name.upper()}"
         if env_key in os.environ:

@@ -179,3 +179,39 @@ def init_model(model: UVLTrack, cfg, rng) -> dict:
                                         template_mask, context_mask, flag,
                                         train=False))
     return init(rng)
+
+
+def forward_test_fn(model: UVLTrack):
+    """The deployable per-frame inference program, shared by the driver
+    compile check (__graft_entry__.entry) and the StableHLO export
+    (cli/export.py) so both always trace the SAME function.
+
+    The param tree is an explicit argument (never a closure: constant-
+    folded weights make TPU compiles ~20x slower and would bake ~700MB
+    into the HLO)."""
+    def fn(variables, template, search, text_ids, text_mask, prompt, flag):
+        out = model.apply(variables, template, search, text_ids, text_mask,
+                          prompt, flag, method=UVLTrack.forward_test)
+        return out["bbox_map"], out["cls_score_test"], out["cont_score"]
+    return fn
+
+
+def example_test_inputs(cfg, model: UVLTrack, batch: int = 1, seed: int = 0):
+    """Concrete example arguments (minus `variables`) for forward_test_fn:
+    random images at the configured template/search sizes, in-vocab text
+    ids with a full mask, a (B, 3, C) prompt, flag=2 (NL+BBOX)."""
+    import numpy as np
+
+    tz, sx = int(cfg.DATA.TEMPLATE.SIZE), int(cfg.DATA.SEARCH.SIZE)
+    nt = int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN)
+    c = model.backbone.embed_dim
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.normal(size=(batch, tz, tz, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(batch, sx, sx, 3)), jnp.float32),
+        jnp.asarray(rng.integers(0, model.backbone.bert.vocab_size,
+                                 size=(batch, nt)), jnp.int32),
+        jnp.ones((batch, nt), jnp.int32),
+        jnp.asarray(rng.normal(size=(batch, 3, c)), jnp.float32),
+        jnp.full((batch,), 2, jnp.int32),
+    )
