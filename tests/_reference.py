@@ -172,24 +172,23 @@ BERT_BASE_CONFIG = {
     "initializer_range": 0.02,
 }
 
+BERT_LARGE_CONFIG = {
+    **BERT_BASE_CONFIG, "hidden_size": 1024, "num_hidden_layers": 24,
+    "num_attention_heads": 16, "intermediate_size": 4096,
+}
+
 
 def build_reference_cfg(tmpdir: str, yaml_name: str = "baseline_base.yaml"):
     """Reference cfg from the reference's own experiment YAML, with the
     pretrained-weight paths pointed at empty stand-ins (strict=False loads
-    leave the random init in place — same mechanism as the real flow)."""
+    leave the random init in place — same mechanism as the real flow).
+
+    The ViT variant is selected the reference's way — by substring of
+    PRETRAINED_PATH (modality_unified_feature_extractor.py:20,30) — so the
+    stand-in file must carry the yaml's variant name, and the stand-in BERT
+    config must match (bert-large for baseline_large)."""
     install()
     import torch
-
-    mae_path = os.path.join(tmpdir, "mae_pretrain_vit_base.pth")
-    if not os.path.exists(mae_path):
-        torch.save({"model": {}}, mae_path)
-    bert_dir = os.path.join(tmpdir, "bert-base-uncased")
-    os.makedirs(bert_dir, exist_ok=True)
-    cfg_file = os.path.join(bert_dir, "config.json")
-    if not os.path.exists(cfg_file):
-        with open(cfg_file, "w") as f:
-            json.dump(BERT_BASE_CONFIG, f)
-        torch.save({}, os.path.join(bert_dir, "pytorch_model.bin"))
 
     import importlib
 
@@ -198,6 +197,21 @@ def build_reference_cfg(tmpdir: str, yaml_name: str = "baseline_base.yaml"):
     cfg_mod.update_config_from_file(
         os.path.join(REFERENCE_ROOT, "experiments/uvltrack", yaml_name))
     cfg = cfg_mod.cfg
+    variant = ("large" if "large" in cfg.MODEL.BACKBONE.PRETRAINED_PATH
+               else "base")
+
+    mae_path = os.path.join(tmpdir, f"mae_pretrain_vit_{variant}.pth")
+    if not os.path.exists(mae_path):
+        torch.save({"model": {}}, mae_path)
+    bert_dir = os.path.join(tmpdir, f"bert-{variant}-uncased")
+    os.makedirs(bert_dir, exist_ok=True)
+    cfg_file = os.path.join(bert_dir, "config.json")
+    if not os.path.exists(cfg_file):
+        with open(cfg_file, "w") as f:
+            json.dump(BERT_LARGE_CONFIG if variant == "large"
+                      else BERT_BASE_CONFIG, f)
+        torch.save({}, os.path.join(bert_dir, "pytorch_model.bin"))
+
     cfg.MODEL.BACKBONE.PRETRAINED_PATH = mae_path
     cfg.MODEL.BACKBONE.LANGUAGE.TYPE = bert_dir
     return cfg
