@@ -13,8 +13,9 @@ deferred readback) plus an "extra" dict with the other measured lines:
     chunk-double-buffered) + the measured upload/compute overlap factor
   - UVLTrack-L tracked FPS/chip (vs the 34 FPS 3090 baseline)
   - 8-stream UVLTrack-L lockstep aggregate FPS (BASELINE.json config 5)
+  - training samples/s on one chip (full jitted train step, synthetic batch)
 
-Extras run under a time budget (UVLTRACK_BENCH_BUDGET_S, default 900s,
+Extras run under a time budget (UVLTRACK_BENCH_BUDGET_S, default 1200s,
 measured from the END of the primary so a cold ~13-min tunnel compile can't
 starve them) and each is fault-isolated; the headline JSON re-prints,
 cumulatively, after the primary and after EVERY completed extra — the last
@@ -300,7 +301,8 @@ def extra_multistream_l(config: str, iters: int) -> dict:
 
 def extra_b_sweep(config: str, iters: int) -> dict:
     """Service-mode throughput curve: aggregate FPS vs stream count (how
-    MXU utilisation climbs with batch)."""
+    MXU utilisation climbs with batch). Measured ceiling (round 4, chip):
+    s24=1196 (plateau), s32 OOMs — the bench stops at the s16 knee."""
     curve = {}
     for s in (2, 4, 8, 16):
         try:
@@ -308,10 +310,70 @@ def extra_b_sweep(config: str, iters: int) -> dict:
             # tunnel's remote-compile helper; shallower chunks fit
             curve[f"s{s}"] = round(bench_multistream(
                 config, streams=s, iters=64, chunk=4 if s >= 16 else 16), 2)
+            # cumulative print per leg: if the parent's budget timeout kills
+            # this subprocess mid-sweep, the legs already measured survive
+            # in the partial stdout (run_extra_subprocess parses it)
+            print(json.dumps({"multistream_b_sweep_fps": dict(curve)}),
+                  flush=True)
         except Exception as e:  # keep earlier points if one leg dies
             log(f"B-sweep s={s} failed: {type(e).__name__}: {e}")
             break
     return {"multistream_b_sweep_fps": curve}
+
+
+def extra_train_step(config: str, iters: int) -> dict:
+    """Steady-state training throughput on one chip: the full jitted train
+    step (fwd, all 4 losses, bwd, grouped AdamW with the 0.1x backbone LR)
+    on synthetic batches at the experiment's TRAIN.BATCH_SIZE. The
+    reference publishes no training-speed number (its counterpart is the
+    DDP loop in lib/train/trainers/ltr_trainer.py); this records ours in
+    the round artifact instead of only as a README claim. Samples = batch
+    x DATA.SEARCH.NUMBER search frames, matching the loader's accounting."""
+    import jax
+    import jax.numpy as jnp
+
+    from uvltrack_tpu.config import load_cfg
+    from uvltrack_tpu.data.synthetic import synthetic_batch
+    from uvltrack_tpu.models.uvltrack import build_model, init_model
+    from uvltrack_tpu.parallel.mesh import make_mesh, shard_batch
+    from uvltrack_tpu.train.optim import build_optimizer
+    from uvltrack_tpu.train.step import (create_train_state,
+                                         jit_sharded_train_step,
+                                         make_train_step)
+
+    cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
+    if (os.environ.get("UVLTRACK_BENCH_CACHE", "1") == "1"
+            and not cfg.TPU.COMPILE_CACHE):
+        cfg.TPU.COMPILE_CACHE = os.path.join(REPO, "output", "xla_cache")
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    b = int(cfg.TRAIN.BATCH_SIZE)
+    n_search = int(cfg.DATA.SEARCH.NUMBER)
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch=100)
+    state = create_train_state(variables, tx)
+    mesh = make_mesh(data=1, model=1)  # the shipped single-chip layout
+    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh)
+
+    rng = np.random.default_rng(0)
+    batch = shard_batch(mesh, jax.tree_util.tree_map(jnp.asarray, synthetic_batch(
+        rng, b, n_search=n_search,
+        template_size=int(cfg.DATA.TEMPLATE.SIZE),
+        search_size=int(cfg.DATA.SEARCH.SIZE),
+        n_text=int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN),
+        gaussian_iou=float(cfg.TRAIN.GAUSSIAN_IOU),
+        dynamic_cls=bool(cfg.TRAIN.DYNAMIC_CLS))))
+    for _ in range(3):  # compile + warm
+        state, metrics = step(state, batch)
+    fence(metrics["Loss/total"])
+    timed = 24
+    t0 = time.perf_counter()
+    for _ in range(timed):
+        state, metrics = step(state, batch)
+    loss = float(np.asarray(metrics["Loss/total"]))
+    wall = time.perf_counter() - t0
+    assert np.isfinite(loss), loss
+    return {"train_samples_per_s_b": round(timed * b * n_search / wall, 2),
+            "train_step_ms_b": round(wall / timed * 1e3, 2)}
 
 
 def run_primary(config: str, iters: int, warmup: int) -> dict:
@@ -377,6 +439,7 @@ SUBPROCESS_EXTRAS = {
     "quant_int8": lambda cfg, it, wu: extra_quant_int8(cfg, it, wu),
     "uvltrack_l": lambda cfg, it, wu: extra_large(cfg, it, wu),
     "multistream8_l": lambda cfg, it, wu: extra_multistream_l(cfg, it),
+    "train_step": lambda cfg, it, wu: extra_train_step(cfg, it),
 }
 
 
@@ -385,17 +448,27 @@ def run_extra_subprocess(name: str, config: str, timeout_s: float) -> dict:
     JSON line of its stdout."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, "-u", os.path.abspath(__file__),
-         "--extra", name, "--config", config],
-        capture_output=True, text=True, timeout=timeout_s)
-    for line in reversed(proc.stdout.splitlines()):
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__),
+             "--extra", name, "--config", config],
+            capture_output=True, text=True, timeout=timeout_s)
+        stdout, rc, err = proc.stdout, proc.returncode, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        # the child is killed, but TimeoutExpired carries the output
+        # captured so far — extras that print cumulative lines per leg
+        # (extra_b_sweep) still surface what they measured before the cut
+        stdout = e.stdout or ""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        rc, err = "timeout", ""
+    for line in reversed(stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(
-        f"no JSON from extra subprocess (rc={proc.returncode}): "
-        f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else ''}")
+        f"no JSON from extra subprocess (rc={rc}): "
+        f"{err.strip().splitlines()[-1] if err.strip() else ''}")
 
 
 def main(argv=None):
@@ -408,7 +481,7 @@ def main(argv=None):
     p.add_argument("--config", default=None)
     args = p.parse_args(argv)
 
-    budget = float(os.environ.get("UVLTRACK_BENCH_BUDGET_S", "900"))
+    budget = float(os.environ.get("UVLTRACK_BENCH_BUDGET_S", "1200"))
     warmup = int(os.environ.get("UVLTRACK_BENCH_WARMUP", "20"))
     iters = int(os.environ.get("UVLTRACK_BENCH_ITERS", "192"))  # 6 x chunk=32
     config = args.config or os.environ.get("UVLTRACK_BENCH_CONFIG",
@@ -467,7 +540,7 @@ def main(argv=None):
         # the new quant leg and the (slowest, bonus) sweep take whatever
         # budget remains — a cold int8 compile must not starve them
         for name in ("nlbbox_mode", "uvltrack_l", "multistream8_l",
-                     "quant_int8", "multistream_b_sweep"):
+                     "quant_int8", "multistream_b_sweep", "train_step"):
             remaining = budget - (time.perf_counter() - extras_t0)
             if remaining <= 30:
                 log(f"[{elapsed():.0f}s] extras budget exhausted; "
