@@ -324,48 +324,41 @@ def extra_b_sweep(config: str, iters: int) -> dict:
 def extra_train_step(config: str, iters: int) -> dict:
     """Steady-state training throughput on one chip: the full jitted train
     step (fwd, all 4 losses, bwd, grouped AdamW with the 0.1x backbone LR)
-    on synthetic batches at the experiment's TRAIN.BATCH_SIZE. The
-    reference publishes no training-speed number (its counterpart is the
-    DDP loop in lib/train/trainers/ltr_trainer.py); this records ours in
-    the round artifact instead of only as a README claim. Samples = batch
+    on synthetic batches at the experiment's TRAIN.BATCH_SIZE, built by the
+    SAME setup recipe cli/train runs (train/step.py::setup_sharded_training
+    + data/synthetic.py::synthetic_batch_from_cfg) so the benched step can't
+    drift from the shipped one. The reference publishes no training-speed
+    number (its counterpart is the DDP loop in
+    lib/train/trainers/ltr_trainer.py); this records ours in the round
+    artifact instead of only as a README claim. Samples = batch
     x DATA.SEARCH.NUMBER search frames, matching the loader's accounting."""
     import jax
     import jax.numpy as jnp
 
     from uvltrack_tpu.config import load_cfg
-    from uvltrack_tpu.data.synthetic import synthetic_batch
-    from uvltrack_tpu.models.uvltrack import build_model, init_model
+    from uvltrack_tpu.data.synthetic import synthetic_batch_from_cfg
     from uvltrack_tpu.parallel.mesh import make_mesh, shard_batch
-    from uvltrack_tpu.train.optim import build_optimizer
-    from uvltrack_tpu.train.step import (create_train_state,
-                                         jit_sharded_train_step,
-                                         make_train_step)
+    from uvltrack_tpu.train.step import setup_sharded_training
 
     cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
     if (os.environ.get("UVLTRACK_BENCH_CACHE", "1") == "1"
             and not cfg.TPU.COMPILE_CACHE):
         cfg.TPU.COMPILE_CACHE = os.path.join(REPO, "output", "xla_cache")
-    model = build_model(cfg)
-    variables = init_model(model, cfg, jax.random.PRNGKey(0))
     b = int(cfg.TRAIN.BATCH_SIZE)
     n_search = int(cfg.DATA.SEARCH.NUMBER)
-    tx = build_optimizer(cfg, variables["params"], steps_per_epoch=100)
-    state = create_train_state(variables, tx)
     mesh = make_mesh(data=1, model=1)  # the shipped single-chip layout
-    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh)
+    _, state, step = setup_sharded_training(
+        cfg, mesh, steps_per_epoch=100, rng_key=jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
-    batch = shard_batch(mesh, jax.tree_util.tree_map(jnp.asarray, synthetic_batch(
-        rng, b, n_search=n_search,
-        template_size=int(cfg.DATA.TEMPLATE.SIZE),
-        search_size=int(cfg.DATA.SEARCH.SIZE),
-        n_text=int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN),
-        gaussian_iou=float(cfg.TRAIN.GAUSSIAN_IOU),
-        dynamic_cls=bool(cfg.TRAIN.DYNAMIC_CLS))))
+    batch = shard_batch(mesh, jax.tree_util.tree_map(
+        jnp.asarray, synthetic_batch_from_cfg(rng, cfg, b)))
     for _ in range(3):  # compile + warm
         state, metrics = step(state, batch)
     fence(metrics["Loss/total"])
-    timed = 24
+    # a train step is ~25x a tracking frame, so scale the shared per-frame
+    # iters knob down instead of ignoring it (default 192 -> 24 steps)
+    timed = max(4, iters // 8)
     t0 = time.perf_counter()
     for _ in range(timed):
         state, metrics = step(state, batch)
@@ -457,15 +450,18 @@ def run_extra_subprocess(name: str, config: str, timeout_s: float) -> dict:
     except subprocess.TimeoutExpired as e:
         # the child is killed, but TimeoutExpired carries the output
         # captured so far — extras that print cumulative lines per leg
-        # (extra_b_sweep) still surface what they measured before the cut
-        stdout = e.stdout or ""
-        if isinstance(stdout, bytes):
-            stdout = stdout.decode(errors="replace")
-        rc, err = "timeout", ""
+        # (extra_b_sweep) still surface what they measured before the cut,
+        # and the partial stderr says where the child was stuck
+        def _dec(x):
+            return x.decode(errors="replace") if isinstance(x, bytes) else (x or "")
+        stdout, rc, err = _dec(e.stdout), "timeout", _dec(e.stderr)
     for line in reversed(stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn/non-JSON '{' line; keep scanning upward
     raise RuntimeError(
         f"no JSON from extra subprocess (rc={rc}): "
         f"{err.strip().splitlines()[-1] if err.strip() else ''}")

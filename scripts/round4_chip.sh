@@ -21,7 +21,23 @@ echo "quant rc=$?" >> output/round4_chip.log
 # probe-loop tpu_return.py can't start mid-stage (CLAUDE.md: one tunnel
 # client; "manual TPU work should check for it"). Refreshed per stage —
 # tpu_return treats a lock older than 4h as stale and each stage fits.
-echo "$$ $(date +%s)" > "$LOCK"
+# Never clobber a live FOREIGN lock (e.g. stage 1 exited rc=1 refusing
+# one, or a client slipped in after stage 1 released): wait it out the
+# same way tpu_return.py does, honoring its 4h staleness rule.
+acquire_lock() {
+  while [ -f "$LOCK" ]; do
+    age=$(( $(date +%s) - $(stat -c %Y "$LOCK") ))
+    if [ "$age" -ge 14400 ]; then
+      echo "stale lock (age ${age}s) — taking over" >> output/round4_chip.log
+      break
+    fi
+    echo "tunnel lock held by another client (age ${age}s); waiting 60s" \
+      >> output/round4_chip.log
+    sleep 60
+  done
+  echo "$$ $(date +%s)" > "$LOCK"
+}
+acquire_lock
 trap 'rm -f "$LOCK"' EXIT
 
 echo "--- stage 2: train smoke on chip (async ckpt + GRAD_ACCUM=2) ---" >> output/round4_chip.log

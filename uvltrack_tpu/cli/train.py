@@ -50,13 +50,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..config import load_cfg
-    from ..data.synthetic import synthetic_batch
+    from ..data.synthetic import synthetic_batch_from_cfg
     from ..eval.environment import env_settings
-    from ..models.uvltrack import build_model, init_model
     from ..parallel.mesh import make_mesh, shard_batch
-    from ..train.optim import build_optimizer
-    from ..train.step import (create_train_state, jit_sharded_train_step,
-                              make_eval_step, make_train_step)
+    from ..train.step import make_eval_step, setup_sharded_training
     from ..train.trainer import Trainer
 
     settings = env_settings()
@@ -69,11 +66,6 @@ def main(argv=None):
     if args.batch_size:
         cfg.TRAIN.BATCH_SIZE = args.batch_size
 
-    model = build_model(cfg)
-    variables = init_model(model, cfg, jax.random.PRNGKey(args.seed))
-    from ..models.convert import load_pretrained
-    variables = load_pretrained(cfg, variables, settings)
-
     mesh = make_mesh(data=int(cfg.TPU.MESH_DATA), model=int(cfg.TPU.MESH_MODEL))
     n_data = mesh.shape["data"]
     global_batch = int(cfg.TRAIN.BATCH_SIZE) * n_data
@@ -84,13 +76,7 @@ def main(argv=None):
         def loader():
             rng = np.random.default_rng(args.seed)
             for _ in range(steps_per_epoch):
-                b = synthetic_batch(rng, global_batch,
-                                    n_search=int(cfg.DATA.SEARCH.NUMBER),
-                                    template_size=int(cfg.DATA.TEMPLATE.SIZE),
-                                    search_size=int(cfg.DATA.SEARCH.SIZE),
-                                    n_text=int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN),
-                                    gaussian_iou=float(cfg.TRAIN.GAUSSIAN_IOU),
-                                    dynamic_cls=bool(cfg.TRAIN.DYNAMIC_CLS))
+                b = synthetic_batch_from_cfg(rng, cfg, global_batch)
                 yield jax.tree_util.tree_map(jnp.asarray, b)
 
         train_loader = _Reiterable(loader)
@@ -105,18 +91,16 @@ def main(argv=None):
                                         seed=args.seed + 1_000_003)
         steps_per_epoch = len(train_loader)
 
-    tx = build_optimizer(cfg, variables["params"], steps_per_epoch)
-    state = create_train_state(variables, tx)
-    use_zero1 = bool(cfg.TPU.ZERO1) and n_data > 1
-    if use_zero1:
-        # place the moments sharded BEFORE step 1: the step's out_shardings
-        # shard them, and a replicated donated input can't alias a sharded
-        # output (donation warning + transient double memory otherwise)
-        from ..parallel.mesh import zero1_state_shardings
+    from ..models.convert import load_pretrained
 
-        state = jax.device_put(state, zero1_state_shardings(mesh, state))
-    train_step = jit_sharded_train_step(
-        make_train_step(model, tx, cfg), mesh, zero1=use_zero1, state=state)
+    # the shared recipe (also behind bench.py's train_step extra and the
+    # multichip dryrun's full-config leg); zero1 pre-places the moments
+    # sharded BEFORE step 1 — a replicated donated input can't alias a
+    # sharded output (donation warning + transient double memory otherwise)
+    model, state, train_step = setup_sharded_training(
+        cfg, mesh, steps_per_epoch, rng_key=jax.random.PRNGKey(args.seed),
+        prepare_variables=lambda v: load_pretrained(cfg, v, settings),
+        zero1=bool(cfg.TPU.ZERO1) and n_data > 1)
     eval_step = jax.jit(make_eval_step(model, cfg))
 
     if args.save_dir is not None:

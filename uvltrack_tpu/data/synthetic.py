@@ -46,3 +46,19 @@ def synthetic_batch(rng: np.random.Generator, batch_size: int, n_search: int = 2
         "text_mask": np.ones((n, b, n_text), np.int32),
         "flag": rng.integers(0, 3, size=(b,)).astype(np.int32),
     }
+
+
+def synthetic_batch_from_cfg(rng: np.random.Generator, cfg, batch_size: int,
+                             n_search: int | None = None) -> dict:
+    """synthetic_batch with every shape/label knob read from the experiment
+    config — the ONE mapping from cfg to batch-generator kwargs, shared by
+    cli/train --synthetic, bench.py's train_step extra, and the multichip
+    dryrun's full-config legs so a new kwarg can't silently skew one of them."""
+    return synthetic_batch(
+        rng, batch_size,
+        n_search=int(cfg.DATA.SEARCH.NUMBER) if n_search is None else n_search,
+        template_size=int(cfg.DATA.TEMPLATE.SIZE),
+        search_size=int(cfg.DATA.SEARCH.SIZE),
+        n_text=int(cfg.MODEL.BACKBONE.LANGUAGE.BERT.MAX_QUERY_LEN),
+        gaussian_iou=float(cfg.TRAIN.GAUSSIAN_IOU),
+        dynamic_cls=bool(cfg.TRAIN.DYNAMIC_CLS))

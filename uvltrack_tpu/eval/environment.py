@@ -9,6 +9,7 @@ Replaces the reference's generated local.py modules
 from __future__ import annotations
 
 import os
+import sys
 from dataclasses import dataclass, field, fields
 
 import yaml
@@ -59,6 +60,7 @@ class EnvSettings:
 
 
 _CACHED: EnvSettings | None = None
+_WARNED_KEYS: set[str] = set()  # unknown local_paths.yaml keys already warned
 
 
 def env_settings(repo_dir: str | None = None) -> EnvSettings:
@@ -81,11 +83,12 @@ def env_settings(repo_dir: str | None = None) -> EnvSettings:
         for k, v in data.items():
             if hasattr(s, k):
                 setattr(s, k, v)
-            else:
+            elif k not in _WARNED_KEYS:
                 # a typo'd root (e.g. DATA_DIR) silently pointing nowhere
-                # costs an eval run; say so once at load
-                import sys
-
+                # costs an eval run; say so ONCE per process — env_settings()
+                # runs dozens of times per eval (cli/test + every dataset
+                # accessor), and repeating it would flood the run log
+                _WARNED_KEYS.add(k)
                 print(f"local_paths.yaml: unknown key {k!r} ignored "
                       f"(valid keys are EnvSettings fields, e.g. "
                       f"tnl2k_path)", file=sys.stderr)

@@ -163,3 +163,36 @@ def jit_sharded_train_step(train_step, mesh: Mesh, replicate_out: bool = True,
     repl = NamedSharding(mesh, P())
     return jax.jit(train_step, out_shardings=(repl, repl),
                    donate_argnums=donate_argnums)
+
+
+def setup_sharded_training(cfg, mesh: Mesh, steps_per_epoch: int,
+                           rng_key=None, prepare_variables=None,
+                           zero1: bool = False, donate: bool = True):
+    """cfg -> (model, state, jitted sharded step): the ONE data-parallel
+    training-setup recipe (build_model -> init -> optimizer -> TrainState ->
+    ZeRO-1 placement -> jit), shared by cli/train, bench.py's train_step
+    extra, and __graft_entry__'s full-config dryrun leg so the benched /
+    dryrun step can't drift from the step training actually runs.
+
+    zero1=True pre-places the moments with their sharded layout BEFORE
+    step 1 (a replicated donated input can't alias a sharded output);
+    prepare_variables(variables) -> variables runs after init, where
+    cli/train loads pretrained weights (models/convert.py)."""
+    from ..models.uvltrack import build_model, init_model
+    from ..train.optim import build_optimizer
+
+    model = build_model(cfg)
+    variables = init_model(model, cfg,
+                           rng_key if rng_key is not None
+                           else jax.random.PRNGKey(0))
+    if prepare_variables is not None:
+        variables = prepare_variables(variables)
+    tx = build_optimizer(cfg, variables["params"], steps_per_epoch)
+    state = create_train_state(variables, tx)
+    if zero1:
+        from ..parallel.mesh import zero1_state_shardings
+
+        state = jax.device_put(state, zero1_state_shardings(mesh, state))
+    step = jit_sharded_train_step(make_train_step(model, tx, cfg), mesh,
+                                  donate=donate, zero1=zero1, state=state)
+    return model, state, step

@@ -181,6 +181,12 @@ class Trainer:
                                           "val": val_stats})
                 self._log_metrics({"epoch": self.epoch, "train": train_stats,
                                    "val": val_stats, "time": time.time()})
+                # human-readable epoch summary (parity: the reference's
+                # LTRTrainer writes per-epoch stats to its run log; short
+                # runs otherwise never touch the .log, only the .jsonl)
+                stats = "  ".join(f"{k}: {v:.5f}"
+                                  for k, v in sorted(train_stats.items()))
+                self._log(f"[epoch {self.epoch}/{max_epochs}] {stats}")
                 retries = 0
             except Exception:
                 if not fail_safe or retries >= max_retries:
