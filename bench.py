@@ -62,6 +62,16 @@ def jax_slice(x):
     return leaf.reshape(-1)[:1]
 
 
+def default_compile_cache(cfg):
+    """Point cfg at the shared persistent XLA compile cache unless the
+    experiment sets its own or UVLTRACK_BENCH_CACHE=0 (cold-compile timing).
+    The ONE copy of this defaulting — every bench model build goes through
+    it so all legs share warm compiles."""
+    if (os.environ.get("UVLTRACK_BENCH_CACHE", "1") == "1"
+            and not cfg.TPU.COMPILE_CACHE):
+        cfg.TPU.COMPILE_CACHE = os.path.join(REPO, "output", "xla_cache")
+
+
 def make_tracker(config: str, build_tracker: bool = True):
     """build_tracker=False skips the Tracker (and its bf16 variable cast)
     for callers that construct their own with a tokenizer."""
@@ -77,9 +87,7 @@ def make_tracker(config: str, build_tracker: bool = True):
     # tracker compile expensive (~9 min through the tunnel); cached repeats
     # start in seconds. UVLTRACK_BENCH_CACHE=0 disables for cold-compile
     # timing experiments.
-    if (os.environ.get("UVLTRACK_BENCH_CACHE", "1") == "1"
-            and not cfg.TPU.COMPILE_CACHE):
-        cfg.TPU.COMPILE_CACHE = os.path.join(REPO, "output", "xla_cache")
+    default_compile_cache(cfg)
     # UVLTRACK_BENCH_QUANT=int8 -> weight-only int8 on the ViT matmul
     # kernels (cfg.TPU.WEIGHT_QUANT; halves the dominant weight stream at
     # bs=1 — A/B this against the default when the chip is reachable)
@@ -186,9 +194,7 @@ def bench_multistream(config: str, streams: int, iters: int,
 
     cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
     cfg.TEST.MODE = "BBOX"
-    if (os.environ.get("UVLTRACK_BENCH_CACHE", "1") == "1"
-            and not cfg.TPU.COMPILE_CACHE):
-        cfg.TPU.COMPILE_CACHE = os.path.join(REPO, "output", "xla_cache")
+    default_compile_cache(cfg)
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(0))
     bt = BatchTracker(cfg, model, variables, num_streams=streams)
@@ -286,10 +292,13 @@ def extra_quant_int8(config: str, iters: int, warmup: int) -> dict:
 
 
 def extra_large(config: str, iters: int, warmup: int) -> dict:
+    # full-length chains, same as the primary: short (64-frame) track_many
+    # chains leave the ~25ms tunnel fence unamortized and under-read L by
+    # ~25% (measured 368-411 at 64 iters vs 460+ at 192 — the r4 L-prefix
+    # A/B legs, which run the primary recipe at baseline_large)
     _, pool = frame_pool()
     _, _, _, trk_l = make_tracker("baseline_large")
-    fps_l, _ = bench_single(trk_l, pool, max(8, warmup // 2),
-                            max(64, iters // 3), repeats=2)
+    fps_l, _ = bench_single(trk_l, pool, max(8, warmup // 2), iters)
     return {"tracked_fps_per_chip_uvltrack_l": round(fps_l, 2),
             "uvltrack_l_vs_baseline": round(fps_l / BASELINE_FPS_L, 3)}
 
@@ -341,9 +350,7 @@ def extra_train_step(config: str, iters: int) -> dict:
     from uvltrack_tpu.train.step import setup_sharded_training
 
     cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
-    if (os.environ.get("UVLTRACK_BENCH_CACHE", "1") == "1"
-            and not cfg.TPU.COMPILE_CACHE):
-        cfg.TPU.COMPILE_CACHE = os.path.join(REPO, "output", "xla_cache")
+    default_compile_cache(cfg)
     b = int(cfg.TRAIN.BATCH_SIZE)
     n_search = int(cfg.DATA.SEARCH.NUMBER)
     mesh = make_mesh(data=1, model=1)  # the shipped single-chip layout
@@ -455,13 +462,21 @@ def run_extra_subprocess(name: str, config: str, timeout_s: float) -> dict:
         def _dec(x):
             return x.decode(errors="replace") if isinstance(x, bytes) else (x or "")
         stdout, rc, err = _dec(e.stdout), "timeout", _dec(e.stderr)
+        # a recovered partial must not read as a completed extra in the
+        # round artifact: tag it and say where the child was cut
+        tail = err.strip().splitlines()[-1] if err.strip() else ""
+        log(f"extra '{name}' hit its {timeout_s:.0f}s timeout; recovering "
+            f"partial stdout (last stderr: {tail})")
     for line in reversed(stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line)
+                result = json.loads(line)
             except json.JSONDecodeError:
                 continue  # torn/non-JSON '{' line; keep scanning upward
+            if rc == "timeout":
+                result[f"{name}_timeout"] = True
+            return result
     raise RuntimeError(
         f"no JSON from extra subprocess (rc={rc}): "
         f"{err.strip().splitlines()[-1] if err.strip() else ''}")

@@ -26,12 +26,23 @@ echo "quant rc=$?" >> output/round4_chip.log
 # same way tpu_return.py does, honoring its 4h staleness rule.
 acquire_lock() {
   while [ -f "$LOCK" ]; do
-    age=$(( $(date +%s) - $(stat -c %Y "$LOCK") ))
+    # the holder may delete the lock between -f and stat (it vanishes in
+    # tpu_return's finally) — treat a failed stat as "gone, re-check"
+    mtime=$(stat -c %Y "$LOCK" 2>/dev/null) || { sleep 1; continue; }
+    age=$(( $(date +%s) - mtime ))
     if [ "$age" -ge 14400 ]; then
       echo "stale lock (age ${age}s) — taking over" >> output/round4_chip.log
       break
     fi
-    echo "tunnel lock held by another client (age ${age}s); waiting 60s" \
+    # the lock records "PID timestamp": a dead holder (e.g. stage 1's
+    # tpu_return SIGKILLed by its outer timeout before its finally ran)
+    # must not cost the 4h staleness wait
+    holder=$(awk '{print $1}' "$LOCK" 2>/dev/null)
+    if [ -n "${holder:-}" ] && ! kill -0 "$holder" 2>/dev/null; then
+      echo "lock holder pid=$holder is dead — taking over" >> output/round4_chip.log
+      break
+    fi
+    echo "tunnel lock held by pid=${holder:-?} (age ${age}s); waiting 60s" \
       >> output/round4_chip.log
     sleep 60
   done
@@ -55,6 +66,8 @@ echo "proj rc=$?" >> output/round4_chip.log
 
 echo "$$ $(date +%s)" > "$LOCK"
 echo "--- stage 4: full bench (incremental headline printing) ---" >> output/round4_chip.log
-timeout 3600 python -u bench.py > output/round4_bench.stdout 2>> output/round4_chip.log
+# 4800 > primary timeout (2400) + extras budget (1200) + slack: the outer
+# timeout must never undercut the budget the extras phase was promised
+timeout 4800 python -u bench.py > output/round4_bench.stdout 2>> output/round4_chip.log
 echo "bench rc=$?" >> output/round4_chip.log
 echo "=== round4 chip sequence done $(date) ===" >> output/round4_chip.log

@@ -45,7 +45,10 @@ def test_timeout_keeps_partial_points(monkeypatch):
     monkeypatch.setattr(subprocess, "run", run)
     out = bench.run_extra_subprocess("multistream_b_sweep", "baseline_base",
                                      timeout_s=5.0)
-    assert out == {"multistream_b_sweep_fps": {"s2": 1.0}}
+    # recovered partials are tagged so the round artifact can't read a
+    # truncated sweep as a completed one
+    assert out == {"multistream_b_sweep_fps": {"s2": 1.0},
+                   "multistream_b_sweep_timeout": True}
 
 
 def test_timeout_bytes_stdout_and_empty(monkeypatch):
@@ -56,7 +59,8 @@ def test_timeout_bytes_stdout_and_empty(monkeypatch):
         raise subprocess.TimeoutExpired(cmd, timeout, output=partial)
 
     monkeypatch.setattr(subprocess, "run", run)
-    assert bench.run_extra_subprocess("primary", "baseline_base", 5.0) == {"k": 1}
+    assert bench.run_extra_subprocess("primary", "baseline_base", 5.0) == {
+        "k": 1, "primary_timeout": True}
 
     def run_none(cmd, capture_output=True, text=True, timeout=None):
         raise subprocess.TimeoutExpired(cmd, timeout)

@@ -104,6 +104,9 @@ def env_settings(repo_dir: str | None = None) -> EnvSettings:
 def reset_env_cache():
     global _CACHED
     _CACHED = None
+    # re-reading local_paths.yaml should re-warn about keys that are STILL
+    # unknown — the user edits the file and resets exactly to re-check it
+    _WARNED_KEYS.clear()
 
 
 def experiment_cfg_path(settings: EnvSettings, script: str, config: str) -> str:

@@ -39,6 +39,14 @@ class AverageMeter:
         return self.sum / max(self.count, 1)
 
 
+def _fmt_stats(d: dict) -> str:
+    """'k: v.vvvvv' pairs, key-sorted — the one stats-line format shared by
+    interval, val, and epoch-summary log lines (meters or plain floats)."""
+    return "  ".join(
+        f"{k}: {(v.avg if isinstance(v, AverageMeter) else v):.5f}"
+        for k, v in sorted(d.items()))
+
+
 class Trainer:
     def __init__(self, cfg, train_step: Callable, state,
                  train_loader: Iterable, val_loaders: Optional[dict] = None,
@@ -124,8 +132,8 @@ class Trainer:
             if i % interval == 0:
                 drain()
                 fps = n_frames / (time.time() - t_start)
-                stats = "  ".join(f"{k}: {m.avg:.5f}" for k, m in sorted(meters.items()))
-                self._log(f"[train: {self.epoch}, {i}] FPS: {fps:.1f}  {stats}")
+                self._log(f"[train: {self.epoch}, {i}] FPS: {fps:.1f}  "
+                          + _fmt_stats(meters))
         drain()
         return {k: m.avg for k, m in meters.items()}
 
@@ -142,8 +150,7 @@ class Trainer:
                 for k, v in metrics.items():
                     meters[k].update(float(v), bs)
             out[name] = {k: m.avg for k, m in meters.items()}
-            stats = "  ".join(f"{k}: {m.avg:.5f}" for k, m in sorted(meters.items()))
-            self._log(f"[val {name}: {self.epoch}] {stats}")
+            self._log(f"[val {name}: {self.epoch}] " + _fmt_stats(meters))
         return out
 
     def _state_for_save(self):
@@ -184,9 +191,8 @@ class Trainer:
                 # human-readable epoch summary (parity: the reference's
                 # LTRTrainer writes per-epoch stats to its run log; short
                 # runs otherwise never touch the .log, only the .jsonl)
-                stats = "  ".join(f"{k}: {v:.5f}"
-                                  for k, v in sorted(train_stats.items()))
-                self._log(f"[epoch {self.epoch}/{max_epochs}] {stats}")
+                self._log(f"[epoch {self.epoch}/{max_epochs}] "
+                          + _fmt_stats(train_stats))
                 retries = 0
             except Exception:
                 if not fail_safe or retries >= max_retries:
