@@ -22,14 +22,18 @@ def _smooth_image(h, w, seed=0):
     return cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
 
 
+@pytest.mark.parametrize("h,w", [(240, 320), (320, 240)])
 @pytest.mark.parametrize("box,factor,out_sz", [
     ([100.0, 50.0, 60.0, 40.0], 2.0, 128),
     ([10.0, 10.0, 30.0, 30.0], 4.0, 256),   # crop spills past top-left
-    ([250.0, 150.0, 90.0, 70.0], 4.0, 256),  # spills past bottom-right
+    ([150.0, 150.0, 60.0, 70.0], 4.0, 256),  # spills past bottom-right
     ([33.3, 41.7, 25.5, 52.1], 5.0, 256),    # fractional box
 ])
-def test_sample_target_device_matches_cv2(box, factor, out_sz):
-    img = _smooth_image(240, 320)
+def test_sample_target_device_matches_cv2(box, factor, out_sz, h, w):
+    # both orientations: the bottom-right-spill case must hit the far-edge
+    # pad quirk on each axis (x2_pad = max(x2 - W + 1, 0) drops the last
+    # in-image row/col; sample_target, processing_utils.py:188-192)
+    img = _smooth_image(h, w)
     crop_cv, rf_cv, _ = sample_target_np(img, box, factor, output_sz=out_sz)
     want = (crop_cv.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 

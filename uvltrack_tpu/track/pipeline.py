@@ -28,6 +28,11 @@ def _axis_taps(out_sz: int, crop_sz, offset, limit: int):
     traced crop corner in image coords (int). limit: static image extent.
     Returns (idx0, idx1, w0, w1) where idx* are clamped image indices and w*
     already include the zero weight for out-of-image taps.
+
+    The reference pads the far side by `max(x2 - W + 1, 0)` (sample_target,
+    lib/train/data/processing_utils.py:188-192), so on any bottom/right
+    spill — including an exact fit x2 == W — the LAST in-image row/col is
+    also dropped to zero: valid image indices are [max(x1,0), min(x2, W-1)).
     """
     j = jnp.arange(out_sz, dtype=jnp.float32)
     scale = crop_sz.astype(jnp.float32) / out_sz
@@ -40,8 +45,9 @@ def _axis_taps(out_sz: int, crop_sz, offset, limit: int):
     c1i = jnp.minimum(c0i + 1, crop_sz.astype(jnp.int32) - 1)
     i0 = offset + c0i
     i1 = offset + c1i
-    v0 = ((i0 >= 0) & (i0 < limit)).astype(jnp.float32)
-    v1 = ((i1 >= 0) & (i1 < limit)).astype(jnp.float32)
+    upper = jnp.minimum(offset + crop_sz.astype(jnp.int32), limit - 1)
+    v0 = ((i0 >= 0) & (i0 < upper)).astype(jnp.float32)
+    v1 = ((i1 >= 0) & (i1 < upper)).astype(jnp.float32)
     return jnp.clip(i0, 0, limit - 1), jnp.clip(i1, 0, limit - 1), w0 * v0, w1 * v1
 
 
@@ -51,6 +57,15 @@ def crop_resize(frame: jnp.ndarray, x1, y1, crop_sz, out_sz: int) -> jnp.ndarray
     x1/y1: traced int crop corner; crop_sz: traced int crop side. The cast
     to f32 happens AFTER the row gather so a uint8 frame never materializes
     as an 11MB f32 copy (720p: 68 vs 79 us/crop measured on v5e).
+
+    Rows are gathered FIRST on purpose: an axis-0 gather reads whole
+    contiguous (W, 3) rows, so the strided column gather then runs on the
+    small (out, W) intermediate. The "shrink the longer axis first to
+    minimize the f32 intermediate" reordering was measured on chip and
+    REJECTED — on a landscape 720p frame, cols-first costs 79 vs 73
+    us/crop single and 506 vs 302 us at vmap-16 (the strided gather over
+    the full-height frame dwarfs the intermediate-size saving;
+    scripts/bench_crop_order.py, output/round4_crop_order.stdout).
     """
     h, w = frame.shape[0], frame.shape[1]
     ry0, ry1, wy0, wy1 = _axis_taps(out_sz, crop_sz, y1, h)
