@@ -316,9 +316,13 @@ def extra_b_sweep(config: str, iters: int) -> dict:
     for s in (2, 4, 8, 16):
         try:
             # s=16 with a 16-deep frame block deterministically kills the
-            # tunnel's remote-compile helper; shallower chunks fit
+            # tunnel's remote-compile helper; shallower chunks fit.
+            # 128 iters: at 64 the single end fence (~25ms tunnel RTT) is
+            # ~5% of the run and under-reads the point (s16 read 1241 at
+            # 64 iters vs 1263-1271 across five 128-iter legs, the r4
+            # cond-remine A/B) — same under-read extra_large had
             curve[f"s{s}"] = round(bench_multistream(
-                config, streams=s, iters=64, chunk=4 if s >= 16 else 16), 2)
+                config, streams=s, iters=128, chunk=4 if s >= 16 else 16), 2)
             # cumulative print per leg: if the parent's budget timeout kills
             # this subprocess mid-sweep, the legs already measured survive
             # in the partial stdout (run_extra_subprocess parses it)

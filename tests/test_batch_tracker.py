@@ -190,3 +190,34 @@ def test_nl_mode_grounds_instead_of_using_gt_box():
         np.testing.assert_allclose(init_boxes[i],
                                    np.asarray(out["target_bbox"]),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_cond_remine_matches_unconditional(monkeypatch):
+    """The cond-gated prompt re-mine (UVLTRACK_BATCH_COND_REMINE=1, the
+    default) must be bit-equivalent to the unconditional where-select:
+    tiny_cfg refreshes every 2 frames (THRESHOLD=-1), so steps 1/3 take the
+    skip branch and steps 2/4 the remine branch."""
+    model = tiny_model()
+    inp = tiny_inputs()
+    variables = jax.jit(lambda r: model.init(r, *inp, train=False))(
+        jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(3)]
+    boxes = np.array([[30, 20, 20, 24], [10, 10, 30, 30],
+                      [50, 40, 20, 20]], np.float32)
+    batches = [np.stack([rng.integers(0, 255, size=(80, 100, 3))
+                         .astype(np.uint8) for _ in range(3)])
+               for _ in range(4)]
+
+    outs = {}
+    for knob in ("1", "0"):
+        monkeypatch.setenv("UVLTRACK_BATCH_COND_REMINE", knob)
+        bt = BatchTracker(tiny_cfg(), model, variables, num_streams=3,
+                          tokenizer=None)  # fresh _step_cache: knob read at trace
+        bt.initialize(frames, boxes)
+        outs[knob] = [np.asarray(bt.step(b)) for b in batches]
+        outs[knob].append(np.asarray(bt.state.prompt))
+
+    for a, b in zip(outs["1"], outs["0"]):
+        np.testing.assert_array_equal(a, b)

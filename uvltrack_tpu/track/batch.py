@@ -13,6 +13,7 @@ state frozen), so ragged sequence lengths batch cleanly.
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -253,6 +254,8 @@ class BatchTracker:
             window = self.window
             interval = self.update_interval
             do_update = self.has_cont and interval > 0
+            use_cond = os.environ.get(
+                "UVLTRACK_BATCH_COND_REMINE", "1") == "1"
             model = self.model
 
             test_method = (UVLTrack.forward_test_cached if self.cache_text
@@ -302,20 +305,41 @@ class BatchTracker:
                 if do_update:
                     refresh = ((jnp.mod(frame_id, interval) == 0)
                                & (max_score > self.threshold) & state.active)
-                    ctx_box = box_cxcywh_to_xywh(best_box_net)
-                    ctx_mask = anno2mask(ctx_box, fsz)
-                    feats = {
-                        "search": best_search,
-                        "template": best_template,
-                        "vis_token": best_vis,
-                        "txt_token": best_txt,
-                        "flag": flags,
-                    }
-                    new_prompt = model.apply(variables, feats, template_mask,
-                                             ctx_mask, method=UVLTrack.forward_prompt)
-                    prompt = jnp.where(refresh[:, None, None],
-                                       new_prompt.astype(prompt.dtype), prompt)
-                    max_score = jnp.where(refresh, 0.0, max_score)
+
+                    # Re-mine prompts only when SOME stream refreshes this
+                    # frame: lockstep streams usually join together, so
+                    # interval-1 of every interval frames skip the whole
+                    # prompter pass. Mirrors the single-stream tracker's
+                    # in-step lax.cond, which measured as a TRUE conditional
+                    # on TPU (TPU_DESIGN "per-frame step"); the predicate is
+                    # a scalar (fn is batched directly, not vmapped), so XLA
+                    # cannot flatten it into a select.
+                    # UVLTRACK_BATCH_COND_REMINE=0 reverts to the
+                    # unconditional where-select (A/B lever).
+                    def remine(prompt, max_score):
+                        ctx_box = box_cxcywh_to_xywh(best_box_net)
+                        ctx_mask = anno2mask(ctx_box, fsz)
+                        feats = {
+                            "search": best_search,
+                            "template": best_template,
+                            "vis_token": best_vis,
+                            "txt_token": best_txt,
+                            "flag": flags,
+                        }
+                        new_prompt = model.apply(
+                            variables, feats, template_mask, ctx_mask,
+                            method=UVLTrack.forward_prompt)
+                        return (jnp.where(refresh[:, None, None],
+                                          new_prompt.astype(prompt.dtype),
+                                          prompt),
+                                jnp.where(refresh, 0.0, max_score))
+
+                    if use_cond:
+                        prompt, max_score = jax.lax.cond(
+                            jnp.any(refresh), remine, lambda p, m: (p, m),
+                            prompt, max_score)
+                    else:
+                        prompt, max_score = remine(prompt, max_score)
 
                 new_state = BatchState(
                     box=new_box, prompt=prompt, max_score=max_score,
