@@ -21,6 +21,15 @@ starve them) and each is fault-isolated; the headline JSON re-prints,
 cumulatively, after the primary and after EVERY completed extra — the last
 stdout JSON line is always parseable and an outer timeout loses at most
 the extra in flight.
+
+Driver-proofing (round 5): each extra's subprocess timeout is capped at
+min(remaining budget, its own cap — ~330s, sweep 600s) so ONE tunnel blip
+can never eat the whole extras budget (round 4 lost every extra to a
+single 1200s hang); a failed extra gets ONE retry, preceded by a cheap
+tunnel health probe loop that detects the blip mode (child silent at jax
+init) and resumes the moment the tunnel answers. MFU lines (mfu_b, mfu_l,
+mfu_b_s16) come from XLA cost analysis of the EXACT compiled programs the
+bench timed, vs the v5e bf16 peak (UVLTRACK_TPU_PEAK_TFLOPS, default 197).
 """
 
 from __future__ import annotations
@@ -37,7 +46,14 @@ sys.path.insert(0, REPO)
 
 BASELINE_FPS_B = 60.0  # UVLTrack-B on RTX 3090 (reference README.md:130)
 BASELINE_FPS_L = 34.0  # UVLTrack-L on RTX 3090 (reference README.md:133)
+# v5e bf16 peak per chip; override for other TPU generations
+TPU_PEAK_FLOPS = float(os.environ.get(
+    "UVLTRACK_TPU_PEAK_TFLOPS", "197")) * 1e12
 T0 = time.perf_counter()
+
+
+def mfu_of(flops_per_frame: float, fps: float) -> float:
+    return round(flops_per_frame * fps / TPU_PEAK_FLOPS, 4)
 
 
 def log(msg):
@@ -180,7 +196,7 @@ def bench_upload_overlap(tracker, frames_np, iters):
 
 
 def bench_multistream(config: str, streams: int, iters: int,
-                      chunk: int = 16):
+                      chunk: int = 16, want_cost: bool = False):
     """Lockstep multi-stream aggregate throughput (BASELINE.json config 5:
     8 parallel UVLTrack-L streams). Scan-chunked: step_many_async advances
     `chunk` lockstep steps per dispatch (per-step dispatch overhead was
@@ -221,6 +237,16 @@ def bench_multistream(config: str, streams: int, iters: int,
     wall = time.perf_counter() - t0
     assert np.isfinite(out).all()
     agg = streams * n_chunks * chunk / wall
+    # per-frame compiled cost of the EXACT chunk program just timed (for
+    # the batched MFU line); computed before the HBM cleanup below
+    flops_per_frame = None
+    if want_cost:
+        try:
+            cost = bt.step_many_cost(block)
+            flops_per_frame = cost["flops"] / (chunk * streams)
+        except Exception as e:
+            log(f"multistream cost analysis failed: "
+                f"{type(e).__name__}: {e}")
     # free this leg's HBM before the next (model copies, frame blocks, and
     # the leg's compiled programs in the global jit cache)
     import gc
@@ -228,7 +254,7 @@ def bench_multistream(config: str, streams: int, iters: int,
     del packs, block, base, bt, variables, model
     gc.collect()
     jax.clear_caches()
-    return agg
+    return (agg, flops_per_frame) if want_cost else agg
 
 
 # ---------------------------------------------------------------- extras
@@ -296,11 +322,21 @@ def extra_large(config: str, iters: int, warmup: int) -> dict:
     # chains leave the ~25ms tunnel fence unamortized and under-read L by
     # ~25% (measured 368-411 at 64 iters vs 460+ at 192 — the r4 L-prefix
     # A/B legs, which run the primary recipe at baseline_large)
+    import jax
+
     _, pool = frame_pool()
     _, _, _, trk_l = make_tracker("baseline_large")
     fps_l, _ = bench_single(trk_l, pool, max(8, warmup // 2), iters)
-    return {"tracked_fps_per_chip_uvltrack_l": round(fps_l, 2),
-            "uvltrack_l_vs_baseline": round(fps_l / BASELINE_FPS_L, 3)}
+    out = {"tracked_fps_per_chip_uvltrack_l": round(fps_l, 2),
+           "uvltrack_l_vs_baseline": round(fps_l / BASELINE_FPS_L, 3)}
+    try:
+        gf = trk_l.step_cost((720, 1280, 3))["flops"] / 1e9
+        out["step_gflops_l"] = round(gf, 2)
+        if jax.devices()[0].platform == "tpu":
+            out["mfu_l"] = mfu_of(gf * 1e9, fps_l)
+    except Exception as e:
+        log(f"L cost analysis failed: {type(e).__name__}: {e}")
+    return out
 
 
 def extra_multistream_l(config: str, iters: int) -> dict:
@@ -312,7 +348,10 @@ def extra_b_sweep(config: str, iters: int) -> dict:
     """Service-mode throughput curve: aggregate FPS vs stream count (how
     MXU utilisation climbs with batch). Measured ceiling (round 4, chip):
     s24=1196 (plateau), s32 OOMs — the bench stops at the s16 knee."""
+    import jax
+
     curve = {}
+    out = {"multistream_b_sweep_fps": curve}
     for s in (2, 4, 8, 16):
         try:
             # s=16 with a 16-deep frame block deterministically kills the
@@ -321,17 +360,23 @@ def extra_b_sweep(config: str, iters: int) -> dict:
             # ~5% of the run and under-reads the point (s16 read 1241 at
             # 64 iters vs 1263-1271 across five 128-iter legs, the r4
             # cond-remine A/B) — same under-read extra_large had
-            curve[f"s{s}"] = round(bench_multistream(
-                config, streams=s, iters=128, chunk=4 if s >= 16 else 16), 2)
+            r = bench_multistream(
+                config, streams=s, iters=128, chunk=4 if s >= 16 else 16,
+                want_cost=(s == 16))
+            fps_s, flops_f = r if s == 16 else (r, None)
+            curve[f"s{s}"] = round(fps_s, 2)
+            if s == 16 and flops_f:
+                out["step_gflops_b_s16"] = round(flops_f / 1e9, 2)
+                if jax.devices()[0].platform == "tpu":
+                    out["mfu_b_s16"] = mfu_of(flops_f, fps_s)
             # cumulative print per leg: if the parent's budget timeout kills
             # this subprocess mid-sweep, the legs already measured survive
             # in the partial stdout (run_extra_subprocess parses it)
-            print(json.dumps({"multistream_b_sweep_fps": dict(curve)}),
-                  flush=True)
+            print(json.dumps(out), flush=True)
         except Exception as e:  # keep earlier points if one leg dies
             log(f"B-sweep s={s} failed: {type(e).__name__}: {e}")
             break
-    return {"multistream_b_sweep_fps": curve}
+    return out
 
 
 def extra_train_step(config: str, iters: int) -> dict:
@@ -368,8 +413,10 @@ def extra_train_step(config: str, iters: int) -> dict:
         state, metrics = step(state, batch)
     fence(metrics["Loss/total"])
     # a train step is ~25x a tracking frame, so scale the shared per-frame
-    # iters knob down instead of ignoring it (default 192 -> 24 steps)
-    timed = max(4, iters // 8)
+    # iters knob down instead of ignoring it (default 192 -> 12 steps;
+    # halved in round 5 so the extra lands inside its subprocess cap —
+    # VERDICT r4 #4: this number had never reached a driver artifact)
+    timed = max(4, iters // 16)
     t0 = time.perf_counter()
     for _ in range(timed):
         state, metrics = step(state, batch)
@@ -410,14 +457,25 @@ def run_primary(config: str, iters: int, warmup: int) -> dict:
             fps_b, lat = bench_single(tracker, pool, warmup, iters)
         else:
             raise
+    platform = jax.devices()[0].platform
     out = {
         "fps_primary": round(fps_b, 2),
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
         "attn": attention.get_backend(),
         "sync_fps": round(1.0 / lat.mean(), 2),
         "sync_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 3),
         "sync_p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 3),
     }
+    # MFU of the timed program: XLA compiled-cost FLOPs/frame x measured
+    # FPS / bf16 peak (only meaningful against the TPU peak constant)
+    try:
+        gf = tracker.step_cost((720, 1280, 3))["flops"] / 1e9
+        suffix = "b" if config == "baseline_base" else "l"
+        out[f"step_gflops_{suffix}"] = round(gf, 2)
+        if platform == "tpu":
+            out[f"mfu_{suffix}"] = mfu_of(gf * 1e9, fps_b)
+    except Exception as e:
+        log(f"step cost analysis failed: {type(e).__name__}: {e}")
     log(f"[{elapsed():.0f}s] {config} deferred fps={fps_b:.1f} "
         f"sync p50={out['sync_p50_ms']}ms")
     if config == "baseline_base" and os.environ.get(
@@ -480,10 +538,89 @@ def run_extra_subprocess(name: str, config: str, timeout_s: float) -> dict:
                 continue  # torn/non-JSON '{' line; keep scanning upward
             if rc == "timeout":
                 result[f"{name}_timeout"] = True
+            elif rc != 0:
+                # a child that printed cumulative per-leg JSON then crashed
+                # (nonzero rc) returned a PARTIAL curve — tag it so a
+                # truncated sweep can't read as complete in the artifact
+                result[f"{name}_partial_rc"] = rc
             return result
     raise RuntimeError(
         f"no JSON from extra subprocess (rc={rc}): "
         f"{err.strip().splitlines()[-1] if err.strip() else ''}")
+
+
+def probe_tunnel(timeout_s: float = 75.0) -> bool:
+    """Cheap device liveness check in a throwaway subprocess (~10-15s when
+    the tunnel answers; the round-4 blip mode is a child hung INSIDE axon
+    init, which this detects as a probe timeout instead of burning an
+    extra's whole cap on it)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+# per-extra subprocess timeout caps: ONE hung child may burn at most its
+# cap, never the whole extras budget (round 4 failure mode). Warm-cache
+# durations are ~60-120s each, sweep ~490s (round-4 chip log); train_step
+# gets headroom for its grad compile.
+EXTRA_CAP_S = {"multistream_b_sweep": 600.0, "train_step": 450.0}
+DEFAULT_EXTRA_CAP_S = float(os.environ.get(
+    "UVLTRACK_BENCH_EXTRA_CAP_S", "330"))
+
+EXTRA_ORDER = ("nlbbox_mode", "uvltrack_l", "quant_int8", "multistream8_l",
+               "train_step", "multistream_b_sweep")
+
+
+def run_extras_phase(config: str, extra: dict, budget: float,
+                     on_result=None, runner=run_extra_subprocess,
+                     prober=probe_tunnel, sleep=time.sleep,
+                     clock=time.perf_counter, order=EXTRA_ORDER):
+    """Run every extra under the shared budget, each capped and retried
+    once. After a failed attempt the tunnel is health-probed in a loop
+    (45s sleeps) and the retry fires the moment it answers — a 20-min
+    tunnel blip costs the blip, not the budget. Injectable runner/prober/
+    sleep/clock so the recovery logic is unit-testable without a device."""
+    t0 = clock()
+
+    def remaining():
+        return budget - (clock() - t0)
+
+    for name in order:
+        cap = EXTRA_CAP_S.get(name, DEFAULT_EXTRA_CAP_S)
+        for attempt in (1, 2):
+            rem = remaining()
+            if rem <= 60:
+                log(f"[{elapsed():.0f}s] extras budget exhausted; "
+                    f"skipping {name}")
+                break
+            try:
+                result = runner(name, config, timeout_s=min(cap, rem))
+                extra.update(result)
+                log(f"[{elapsed():.0f}s] {name}: " + " ".join(
+                    f"{k}={v}" for k, v in result.items()))
+                if on_result is not None:
+                    on_result(extra)
+                break
+            except Exception as e:
+                log(f"extra '{name}' attempt {attempt} failed: "
+                    f"{type(e).__name__}: {e}")
+                if attempt == 2:
+                    break
+                # before the retry: if the tunnel is in its blip mode,
+                # probing (not a hung child) is what the budget buys —
+                # resume as soon as it answers, skip out when it doesn't
+                while remaining() > 120 and not prober():
+                    log(f"[{elapsed():.0f}s] tunnel probe failed; "
+                        f"re-probing in 45s ({remaining():.0f}s budget left)")
+                    sleep(45)
+    return extra
 
 
 def main(argv=None):
@@ -548,34 +685,15 @@ def main(argv=None):
 
     # budget counts from here: a cold tracker compile through the tunnel
     # costs up to ~13 min by itself and must not starve the extras
-    extras_t0 = time.perf_counter()
     if config == "baseline_base" and os.environ.get(
             "UVLTRACK_BENCH_EXTRAS", "1") == "1":
-        # historical metrics first (CLAUDE.md records them every round);
-        # the new quant leg and the (slowest, bonus) sweep take whatever
-        # budget remains — a cold int8 compile must not starve them
-        for name in ("nlbbox_mode", "uvltrack_l", "multistream8_l",
-                     "quant_int8", "multistream_b_sweep", "train_step"):
-            remaining = budget - (time.perf_counter() - extras_t0)
-            if remaining <= 30:
-                log(f"[{elapsed():.0f}s] extras budget exhausted; "
-                    f"skipping {name}")
-                continue
-            try:
-                result = run_extra_subprocess(
-                    name, config, timeout_s=max(120.0, remaining))
-                extra.update(result)
-                log(f"[{elapsed():.0f}s] {name}: " + " ".join(
-                    f"{k}={v}" for k, v in result.items()))
-                # re-print the full headline after EVERY extra: the driver
-                # parses the LAST JSON line on stdout, so an outer timeout
-                # mid-extras loses at most the extra in flight, never one
-                # already measured (round 3's rc=124 lost 3 extras because
-                # the complete line printed only once at the very end)
-                print(json.dumps({**metric, "extra": dict(extra)}),
-                      flush=True)
-            except Exception as e:
-                log(f"extra '{name}' failed: {type(e).__name__}: {e}")
+        # re-print the full headline after EVERY extra: the driver parses
+        # the LAST JSON line on stdout, so an outer timeout mid-extras
+        # loses at most the extra in flight, never one already measured
+        run_extras_phase(
+            config, extra, budget,
+            on_result=lambda ex: print(
+                json.dumps({**metric, "extra": dict(ex)}), flush=True))
 
     log(f"platform={platform} attn={attn} total {elapsed():.0f}s")
     print(json.dumps({**metric, "extra": extra}))

@@ -1,8 +1,9 @@
 """A/B: separable crop_resize gather order on real TPU (720p landscape).
 
-rows-first materializes a (256, 1280, 3) f32 intermediate; cols-first
-(the shipped longer-axis-first order) materializes (720, 256, 3) — 1.8x
-less intermediate traffic. Measures both orders with the fenced-chain
+rows-first (the SHIPPED order — pipeline.py crop_resize measured and
+kept it) materializes a (256, 1280, 3) f32 intermediate; cols-first (the
+rejected longer-axis-first candidate this script A/Bs) materializes
+(720, 256, 3) — 1.8x less intermediate traffic on paper, slower on chip. Measures both orders with the fenced-chain
 methodology (DEVNOTES: block_until_ready returns early through the
 tunnel; per-dispatch overhead ~25 ms, so chain crops inside one jit with
 a data dependency and fence with a real readback).

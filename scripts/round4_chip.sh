@@ -25,7 +25,10 @@ echo "quant rc=$?" >> output/round4_chip.log
 # one, or a client slipped in after stage 1 released): wait it out the
 # same way tpu_return.py does, honoring its 4h staleness rule.
 acquire_lock() {
-  while [ -f "$LOCK" ]; do
+  # atomic create (noclobber): two concurrent acquirers can't both win —
+  # the check-then-write race ADVICE r4 flagged is gone. On failure we
+  # fall through to the staleness/dead-holder wait below and re-try.
+  while ! (set -o noclobber; echo "$$ $(date +%s)" > "$LOCK") 2>/dev/null; do
     # the holder may delete the lock between -f and stat (it vanishes in
     # tpu_return's finally) — treat a failed stat as "gone, re-check"
     mtime=$(stat -c %Y "$LOCK" 2>/dev/null) || { sleep 1; continue; }

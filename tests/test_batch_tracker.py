@@ -221,3 +221,17 @@ def test_cond_remine_matches_unconditional(monkeypatch):
 
     for a, b in zip(outs["1"], outs["0"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_step_many_cost_reports_compiled_flops(bt):
+    """Batched MFU accounting surface (bench.py's s16 sweep leg): cost
+    analysis of the exact compiled lockstep chunk program."""
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 255, size=(80, 100, 3)).astype(np.uint8)
+              for _ in range(4)]
+    boxes = np.array([[30, 20, 20, 24], [10, 10, 30, 30],
+                      [50, 40, 20, 20], [5, 5, 15, 15]], np.float32)
+    bt.initialize(frames, boxes)
+    block = np.stack([np.stack(frames)] * 2)  # (T=2, S=4, H, W, 3)
+    cost = bt.step_many_cost(block)
+    assert cost["flops"] > 0 and cost["bytes"] > 0

@@ -98,3 +98,28 @@ def test_dispatching_loader_routes_tuples(tmp_path, monkeypatch):
     assert load("some/path.jpg") == "plain" and calls == ["some/path.jpg"]
     decoded = load((env, "k"))
     np.testing.assert_array_equal(decoded, img)
+
+
+def test_compile_cache_partitioned_per_host_on_cpu(tmp_path):
+    """CPU AOT cache entries are microarch-specific (cpu_aot_loader warns
+    SIGILL-risk on feature mismatch — MULTICHIP_r04); on the cpu backend
+    the cache dir must be partitioned by a stable host-CPU key."""
+    import jax
+
+    from uvltrack_tpu.config import default_cfg
+    from uvltrack_tpu.models.uvltrack import (_cpu_cache_key,
+                                              configure_compile_cache)
+
+    key = _cpu_cache_key()
+    assert key.startswith("cpu-") and len(key) == 14
+    assert key == _cpu_cache_key()  # stable within a host
+
+    cfg = default_cfg()
+    cfg.TPU.COMPILE_CACHE = str(tmp_path / "xc")
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        configure_compile_cache(cfg)
+        got = jax.config.jax_compilation_cache_dir
+        assert got == str(tmp_path / "xc" / key), got
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

@@ -139,3 +139,14 @@ def test_track_debug_matches_track_and_exposes_maps(tracker):
         np.testing.assert_allclose(
             d["merged_map"], d["cls_map"] * window * d["cont_map"],
             rtol=1e-5, atol=1e-6)
+
+
+def test_step_cost_reports_compiled_flops(tracker):
+    """MFU accounting surface (bench.py): XLA cost analysis of the exact
+    compiled per-frame step must yield positive flops/bytes."""
+    shape = (64, 80, 3)
+    img = np.random.default_rng(3).integers(
+        0, 255, size=shape).astype(np.uint8)
+    tracker.initialize(img, {"init_bbox": [10.0, 10.0, 20.0, 24.0]})
+    cost = tracker.step_cost(shape)
+    assert cost["flops"] > 0 and cost["bytes"] > 0

@@ -16,7 +16,8 @@ Usage:
 Writes `<out>` (the serialized exported program) and `<out>.json` (a
 manifest: argument shapes/dtypes, platforms, config). `--check`
 round-trips the blob through jax.export.deserialize and asserts the
-restored program reproduces the direct call bit-for-bit on random inputs.
+restored program reproduces the direct call to 1e-5 rtol/atol on random
+inputs (same backend; not asserted bit-identical).
 """
 
 from __future__ import annotations

@@ -103,14 +103,44 @@ def prepare_inference_variables(cfg, variables: dict) -> dict:
     return variables
 
 
+def _cpu_cache_key() -> str:
+    """Fingerprint of the host CPU (arch + feature flags). CPU AOT cache
+    entries are microarchitecture-specific: XLA's cpu_aot_loader warns of
+    SIGILL risk when loading entries compiled on a feature-mismatched host
+    (seen in MULTICHIP_r04 when output/xla_cache travelled between
+    machines). Partitioning the CPU cache by this key trades a cold start
+    off-host for never loading a mismatched AOT result."""
+    import hashlib
+    import platform as _platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha1(
+        (_platform.machine() + ":" + feats).encode()).hexdigest()[:10]
+    return f"cpu-{h}"
+
+
 def configure_compile_cache(cfg) -> None:
     """Enable jax's persistent compilation cache when cfg.TPU.COMPILE_CACHE
     names a directory — a production nicety: tracker/train start-up skips
-    the 20-40s first compile on every process restart."""
+    the 20-40s first compile on every process restart. On the CPU backend
+    the directory is partitioned per host CPU (see _cpu_cache_key); TPU
+    entries are host-independent and stay shared."""
     path = str(getattr(cfg.TPU, "COMPILE_CACHE", "") or "")
     if path:
+        import os
+
         import jax
 
+        if jax.default_backend() == "cpu":
+            path = os.path.join(path, _cpu_cache_key())
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

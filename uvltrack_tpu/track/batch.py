@@ -441,3 +441,17 @@ class BatchTracker:
 
     def step_many(self, frames_t) -> np.ndarray:
         return np.asarray(self.step_many_async(frames_t), np.float64)
+
+    def step_many_cost(self, frames_t) -> dict:
+        """XLA cost analysis of the compiled (T, S)-lockstep chunk program
+        for a frame block shaped like `frames_t` — {"flops", "bytes"} per
+        dispatch (divide by T*S for per-frame). Call after initialize();
+        used by bench.py for the batched MFU line."""
+        from ..utils.costs import compiled_cost
+
+        frames_t = self._pad_frames(jnp.asarray(frames_t), axis=1)
+        hw = (int(frames_t.shape[2]), int(frames_t.shape[3]))
+        return compiled_cost(
+            self._many_fn(hw), self.variables, self.state, frames_t,
+            self.template, self.template_mask, self.txt, self.text_mask,
+            self.flags)

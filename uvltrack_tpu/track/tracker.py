@@ -372,6 +372,19 @@ class Tracker:
             self.template_mask, self.txt, self.text_mask, self.flag)
         return packed
 
+    def step_cost(self, image_shape) -> dict:
+        """XLA cost analysis of the compiled per-frame step for frames of
+        `image_shape` — {"flops", "bytes"} per frame. Call after
+        initialize(); used by bench.py for the MFU line."""
+        from ..utils.costs import compiled_cost
+
+        hw = tuple(image_shape[:2])
+        frame = jnp.zeros(tuple(image_shape), jnp.uint8)
+        return compiled_cost(
+            self.jt.step_fn(hw), self.jt.variables, self.state, frame,
+            self.template, self.template_mask, self.txt, self.text_mask,
+            self.flag)
+
     def track_many(self, images, chunk: int = 32) -> np.ndarray:
         """Track a sequence of frames at full device throughput: frames are
         processed in `chunk`-sized lax.scan dispatches (state threaded on
