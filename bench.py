@@ -585,14 +585,27 @@ def run_extras_phase(config: str, extra: dict, budget: float,
     """Run every extra under the shared budget, each capped and retried
     once. After a failed attempt the tunnel is health-probed in a loop
     (45s sleeps) and the retry fires the moment it answers — a 20-min
-    tunnel blip costs the blip, not the budget. Injectable runner/prober/
-    sleep/clock so the recovery logic is unit-testable without a device."""
+    tunnel blip costs the blip, not the budget.
+
+    Timeout escalation: when an attempt TIMES OUT but the tunnel probes
+    healthy, the cause is a long compile (a cold persistent cache pays
+    5-10 min for L/int8 through the tunnel — DEVNOTES), not a blip, and
+    re-running with the same cap would just time out again without ever
+    seeding the cache; the retry gets up to 3x the cap, BUT never more
+    than the remaining budget minus a 60s-per-pending-extra reserve — a
+    truly hung child can still only delay the extras behind it, never
+    starve them. Measured in this exact shape on the round-5
+    cold-workspace run: uvltrack_l died at 330s twice while the tunnel
+    answered probes in seconds.
+
+    Injectable runner/prober/sleep/clock so the recovery logic is
+    unit-testable without a device."""
     t0 = clock()
 
     def remaining():
         return budget - (clock() - t0)
 
-    for name in order:
+    for i, name in enumerate(order):
         cap = EXTRA_CAP_S.get(name, DEFAULT_EXTRA_CAP_S)
         for attempt in (1, 2):
             rem = remaining()
@@ -609,6 +622,7 @@ def run_extras_phase(config: str, extra: dict, budget: float,
                     on_result(extra)
                 break
             except Exception as e:
+                timed_out = "timeout" in str(e)
                 log(f"extra '{name}' attempt {attempt} failed: "
                     f"{type(e).__name__}: {e}")
                 if attempt == 2:
@@ -616,10 +630,18 @@ def run_extras_phase(config: str, extra: dict, budget: float,
                 # before the retry: if the tunnel is in its blip mode,
                 # probing (not a hung child) is what the budget buys —
                 # resume as soon as it answers, skip out when it doesn't
-                while remaining() > 120 and not prober():
+                healthy = prober()
+                while remaining() > 120 and not healthy:
                     log(f"[{elapsed():.0f}s] tunnel probe failed; "
                         f"re-probing in 45s ({remaining():.0f}s budget left)")
                     sleep(45)
+                    healthy = prober()
+                if timed_out and healthy:
+                    # cold compile, not a blip: let the retry finish — but
+                    # keep 60s of budget per extra still pending so a
+                    # genuinely hung child can't starve the queue
+                    reserve = 60.0 * (len(order) - i - 1)
+                    cap = max(cap, min(cap * 3, remaining() - reserve))
     return extra
 
 

@@ -119,7 +119,8 @@ def test_hanging_extra_does_not_starve_the_rest():
     def runner(name, config, timeout_s):
         calls.append((name, timeout_s))
         # caps, not the whole budget: a hung child may burn at most its cap
-        assert timeout_s <= bench.EXTRA_CAP_S.get(
+        # (3x on the healthy-tunnel retry — the cold-compile escalation)
+        assert timeout_s <= 3 * bench.EXTRA_CAP_S.get(
             name, bench.DEFAULT_EXTRA_CAP_S)
         if name == "nlbbox_mode":  # hangs: burns its full cap, no JSON
             clock.t += timeout_s
@@ -188,3 +189,46 @@ def test_recovery_mid_blip_resumes_extras():
     assert state["probes"] == 4
     for name in bench.EXTRA_ORDER:
         assert extra[name] == 2.0
+
+
+def test_cold_compile_timeout_escalates_retry_cap():
+    """Round-5 cold-workspace failure mode: the child TIMES OUT because of
+    a long cold compile while the tunnel probes healthy. The retry must
+    run with an escalated (3x) cap so the compile can actually finish and
+    seed the persistent cache — same-cap retries time out forever."""
+    clock = _FakeClock()
+    calls = []
+
+    def runner(name, config, timeout_s):
+        calls.append((name, timeout_s))
+        if name == "uvltrack_l" and timeout_s < 500.0:
+            clock.t += timeout_s  # cold compile outlives the base cap
+            raise RuntimeError("no JSON from extra subprocess (rc=timeout)")
+        clock.t += 50.0
+        return {name: 3.0}
+
+    extra = bench.run_extras_phase(
+        "baseline_base", {}, budget=2400.0, runner=runner,
+        prober=lambda: True, sleep=lambda s: None, clock=clock)
+    l_calls = [t for n, t in calls if n == "uvltrack_l"]
+    assert len(l_calls) == 2 and l_calls[1] == pytest.approx(
+        3 * bench.DEFAULT_EXTRA_CAP_S)
+    assert extra["uvltrack_l"] == 3.0
+    # a CRASH (non-timeout) retry keeps the base cap: escalation is
+    # reserved for the healthy-tunnel timeout signature
+    calls.clear()
+
+    def crash_runner(name, config, timeout_s):
+        calls.append((name, timeout_s))
+        if name == "nlbbox_mode" and len(calls) == 1:
+            clock.t += 10.0
+            raise RuntimeError("no JSON from extra subprocess (rc=1)")
+        clock.t += 10.0
+        return {name: 4.0}
+
+    clock.t = 0.0
+    bench.run_extras_phase(
+        "baseline_base", {}, budget=2400.0, runner=crash_runner,
+        prober=lambda: True, sleep=lambda s: None, clock=clock)
+    nl_calls = [t for n, t in calls if n == "nlbbox_mode"]
+    assert len(nl_calls) == 2 and nl_calls[0] == nl_calls[1]
