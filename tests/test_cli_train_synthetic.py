@@ -7,11 +7,15 @@ reference exercises via tracking/train.py + lib/train/run_training.py.
 """
 
 import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
 pytestmark = pytest.mark.slow  # ViT-B-width compile on the 1-core sandbox
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_cli_train_synthetic_end_to_end(tmp_path):
@@ -35,3 +39,43 @@ def test_cli_train_synthetic_end_to_end(tmp_path):
     # the log landed under the workspace root too
     log = os.path.join(save_dir, "logs", "uvltrack-_smoke_cpu.log")
     assert os.path.exists(log)
+
+
+def test_cli_train_synthetic_dp2_full_mesh(tmp_path):
+    """dp>1 through the cli/train seam (VERDICT r4 #8): the in-process test
+    pins MESH_DATA=1 because XLA:CPU's GSPMD rendezvous flakily CHECK-aborts
+    on 2-of-8 SUBGROUP all-gathers under the conftest's virtual 8-device
+    mesh. A dp2 mesh over exactly 2 virtual devices keeps every collective
+    FULL-mesh (2-of-2) — the stable case — so the CLI's dp>1 leg (sharded
+    batches, grad all-reduce, sharded-metrics readback) runs end to end.
+    Needs its own process: the device count is fixed at backend init."""
+    wrapper = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "from uvltrack_tpu.cli.train import main\n"
+        "main(sys.argv[1:])\n"
+    )
+    save_dir = str(tmp_path / "ws")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        [f for f in env.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+        + ["--xla_force_host_platform_device_count=2"])
+    proc = subprocess.run(
+        [sys.executable, "-c", wrapper,
+         "--config", "_smoke_cpu", "--synthetic", "2", "--epochs", "1",
+         "--batch_size", "2", "--save_dir", save_dir,
+         "--set", "TPU.MESH_DATA=2", "--set", "TPU.GRAD_ACCUM=1"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500)
+    assert proc.returncode == 0, proc.stderr[-4000:] + proc.stdout[-1000:]
+
+    from uvltrack_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(os.path.join(
+        save_dir, "checkpoints", "train", "uvltrack", "_smoke_cpu"))
+    assert mgr.epochs() == [1]
+    state, _extra, epoch = mgr.restore_raw()
+    leaves = [np.asarray(x) for x in __import__("jax").tree_util.tree_leaves(
+        state["params"])]
+    assert leaves and all(np.isfinite(x).all() for x in leaves)

@@ -35,8 +35,11 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--multihost", action="store_true",
-                   help="initialize jax.distributed (launch once per host; "
-                        "coordinator via JAX_COORDINATOR_ADDRESS env)")
+                   help="initialize jax.distributed (launch once per host). "
+                        "On TPU pods all parameters auto-detect; elsewhere "
+                        "set JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES and "
+                        "JAX_PROCESS_ID (jax has no env-var cluster plugin, "
+                        "so bare initialize() cannot bootstrap off-pod)")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="config override, e.g. --set TPU.GRAD_ACCUM=2 "
@@ -46,7 +49,13 @@ def main(argv=None):
     import jax
 
     if args.multihost:
-        jax.distributed.initialize()
+        kw = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
+        jax.distributed.initialize(**kw)
     import jax.numpy as jnp
 
     from ..config import load_cfg

@@ -158,11 +158,14 @@ class Trainer:
         for ZeRO-1 shards — all addressable). Multihost: ZeRO-1 moments span
         non-addressable devices, so gather the global values via
         process_allgather (a collective — every process must call this, even
-        though only process 0 writes the file)."""
+        though only process 0 writes the file). tiled=True is required for
+        global non-fully-addressable arrays and returns each leaf's GLOBAL
+        logical value (replicated leaves come back at their own shape, ZeRO-1
+        shards fully gathered) — caught by tests/test_multihost_train.py."""
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            return multihost_utils.process_allgather(self.state)
+            return multihost_utils.process_allgather(self.state, tiled=True)
         return jax.device_get(self.state)
 
     def train(self, max_epochs: int, load_latest: bool = True,
