@@ -242,8 +242,14 @@ def bench_multistream(config: str, streams: int, iters: int,
     flops_per_frame = None
     if want_cost:
         try:
+            # the chunk program is a lax.scan over T=chunk; XLA cost
+            # analysis counts the scan BODY once, independent of trip count
+            # (verified: scan(length=1/4/8) of a matmul all report one
+            # matmul's flops — tests/test_misc_helpers.py guards this), so
+            # body flops / S is already per-frame. Dividing by T*S too
+            # under-read s16 by 4x (12.26 vs the true ~49 GF/frame).
             cost = bt.step_many_cost(block)
-            flops_per_frame = cost["flops"] / (chunk * streams)
+            flops_per_frame = cost["flops"] / streams
         except Exception as e:
             log(f"multistream cost analysis failed: "
                 f"{type(e).__name__}: {e}")

@@ -150,3 +150,30 @@ def test_step_cost_reports_compiled_flops(tracker):
     tracker.initialize(img, {"init_bbox": [10.0, 10.0, 20.0, 24.0]})
     cost = tracker.step_cost(shape)
     assert cost["flops"] > 0 and cost["bytes"] > 0
+
+
+def test_cost_analysis_counts_scan_body_once():
+    """Divisor contract for the batched MFU line: XLA cost analysis counts
+    a lax.scan body ONCE regardless of trip count, so
+    BatchTracker.step_many_cost callers divide by S, not T*S (bench.py
+    under-read mfu_b_s16 4x before this was pinned down). If a jax upgrade
+    starts multiplying by trip count, this fails and the divisors in
+    bench.py/bench_capacity must gain the T factor back."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = jnp.ones((64, 64))
+    flops = []
+    for n in (1, 4):
+        f = jax.jit(
+            lambda x, n=n: lax.scan(lambda c, _: (c @ c, None), x, None,
+                                    length=n)[0])
+        ca = f.lower(x).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops.append(float(ca["flops"]))
+    assert flops[0] > 0
+    # length=4 adds a few flops of loop control (observed +2); a
+    # trip-count-multiplied body would be ~4x
+    assert flops[1] < 1.5 * flops[0], flops

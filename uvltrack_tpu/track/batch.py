@@ -444,9 +444,10 @@ class BatchTracker:
 
     def step_many_cost(self, frames_t) -> dict:
         """XLA cost analysis of the compiled (T, S)-lockstep chunk program
-        for a frame block shaped like `frames_t` — {"flops", "bytes"} per
-        dispatch (divide by T*S for per-frame). Call after initialize();
-        used by bench.py for the batched MFU line."""
+        for a frame block shaped like `frames_t` — {"flops", "bytes"}.
+        XLA counts the lax.scan BODY once regardless of the T trip count,
+        so divide by S (not T*S) for per-frame figures. Call after
+        initialize(); used by bench.py for the batched MFU line."""
         from ..utils.costs import compiled_cost
 
         frames_t = self._pad_frames(jnp.asarray(frames_t), axis=1)
