@@ -249,7 +249,10 @@ def bench_multistream(config: str, streams: int, iters: int,
             # body flops / S is already per-frame. Dividing by T*S too
             # under-read s16 by 4x (12.26 vs the true ~49 GF/frame).
             cost = bt.step_many_cost(block)
-            flops_per_frame = cost["flops"] / streams
+            if cost["flops"]:
+                # divide by the device stream count (S_pad; == streams
+                # here, no mesh) — pad streams compute too
+                flops_per_frame = cost["flops"] / cost["streams"]
         except Exception as e:
             log(f"multistream cost analysis failed: "
                 f"{type(e).__name__}: {e}")
@@ -337,9 +340,12 @@ def extra_large(config: str, iters: int, warmup: int) -> dict:
            "uvltrack_l_vs_baseline": round(fps_l / BASELINE_FPS_L, 3)}
     try:
         gf = trk_l.step_cost((720, 1280, 3))["flops"] / 1e9
-        out["step_gflops_l"] = round(gf, 2)
-        if jax.devices()[0].platform == "tpu":
-            out["mfu_l"] = mfu_of(gf * 1e9, fps_l)
+        if gf:  # see run_primary: no-'flops' cost_analysis reads as 0.0
+            out["step_gflops_l"] = round(gf, 2)
+            if jax.devices()[0].platform == "tpu":
+                out["mfu_l"] = mfu_of(gf * 1e9, fps_l)
+        else:
+            log("L cost analysis returned no flops; omitting MFU")
     except Exception as e:
         log(f"L cost analysis failed: {type(e).__name__}: {e}")
     return out
@@ -476,10 +482,15 @@ def run_primary(config: str, iters: int, warmup: int) -> dict:
     # FPS / bf16 peak (only meaningful against the TPU peak constant)
     try:
         gf = tracker.step_cost((720, 1280, 3))["flops"] / 1e9
-        suffix = "b" if config == "baseline_base" else "l"
-        out[f"step_gflops_{suffix}"] = round(gf, 2)
-        if platform == "tpu":
-            out[f"mfu_{suffix}"] = mfu_of(gf * 1e9, fps_b)
+        # a cost_analysis without a 'flops' key reads back 0.0 — omit the
+        # lines rather than publish a real-looking mfu=0.0 in the artifact
+        if gf:
+            suffix = "b" if config == "baseline_base" else "l"
+            out[f"step_gflops_{suffix}"] = round(gf, 2)
+            if platform == "tpu":
+                out[f"mfu_{suffix}"] = mfu_of(gf * 1e9, fps_b)
+        else:
+            log("step cost analysis returned no flops; omitting MFU")
     except Exception as e:
         log(f"step cost analysis failed: {type(e).__name__}: {e}")
     log(f"[{elapsed():.0f}s] {config} deferred fps={fps_b:.1f} "
@@ -509,6 +520,14 @@ SUBPROCESS_EXTRAS = {
     "multistream8_l": lambda cfg, it, wu: extra_multistream_l(cfg, it),
     "train_step": lambda cfg, it, wu: extra_train_step(cfg, it),
 }
+
+
+class ExtraTimeoutError(RuntimeError):
+    """The extra's subprocess hit its timeout without printing any JSON.
+    A distinct type so run_extras_phase's compile-vs-blip escalation keys
+    on what actually happened, not on substring-matching the message (a
+    child that CRASHES with 'socket.timeout' in its stderr tail must not
+    trigger the 3x-cap escalation)."""
 
 
 def run_extra_subprocess(name: str, config: str, timeout_s: float) -> dict:
@@ -550,7 +569,8 @@ def run_extra_subprocess(name: str, config: str, timeout_s: float) -> dict:
                 # truncated sweep can't read as complete in the artifact
                 result[f"{name}_partial_rc"] = rc
             return result
-    raise RuntimeError(
+    exc = ExtraTimeoutError if rc == "timeout" else RuntimeError
+    raise exc(
         f"no JSON from extra subprocess (rc={rc}): "
         f"{err.strip().splitlines()[-1] if err.strip() else ''}")
 
@@ -628,7 +648,7 @@ def run_extras_phase(config: str, extra: dict, budget: float,
                     on_result(extra)
                 break
             except Exception as e:
-                timed_out = "timeout" in str(e)
+                timed_out = isinstance(e, ExtraTimeoutError)
                 log(f"extra '{name}' attempt {attempt} failed: "
                     f"{type(e).__name__}: {e}")
                 if attempt == 2:
@@ -642,12 +662,20 @@ def run_extras_phase(config: str, extra: dict, budget: float,
                         f"re-probing in 45s ({remaining():.0f}s budget left)")
                     sleep(45)
                     healthy = prober()
-                if timed_out and healthy:
-                    # cold compile, not a blip: let the retry finish — but
-                    # keep 60s of budget per extra still pending so a
-                    # genuinely hung child can't starve the queue
-                    reserve = 60.0 * (len(order) - i - 1)
-                    cap = max(cap, min(cap * 3, remaining() - reserve))
+                # bound the RETRY (escalated or not) by the remaining
+                # budget minus a 60s-per-pending-extra reserve, so a
+                # genuinely hung child can't starve the queue behind it;
+                # a healthy-tunnel timeout means a cold compile, which a
+                # same-cap rerun would refail, so it earns up to 3x cap
+                reserve = 60.0 * (len(order) - i - 1)
+                ceiling = remaining() - reserve
+                cap = min(cap * 3 if (timed_out and healthy) else cap,
+                          ceiling)
+                if cap < 60:
+                    log(f"[{elapsed():.0f}s] skipping retry of {name}: "
+                        f"{remaining():.0f}s left minus {reserve:.0f}s "
+                        "reserve leaves no useful window")
+                    break
     return extra
 
 

@@ -39,12 +39,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # decision points, cheapest first. B s16 is the bench's recommended
-# capacity (s24 plateau, s32 OOM in r4); L s16 sits right at the 33ms SLO.
+# capacity (s24 plateau, s32 OOM in r4); L s16 sits right at the 33ms SLO
+# and L s8 is the operating point that actually meets it (measured p50
+# 23.7/21.7 ms fp/int8) — without the s8 rows the summary would report
+# max_streams_at_slo=0 for L, contradicting the measured capacity.
 DEFAULT_LEGS = [
     ("baseline_base", "fp", 16),
     ("baseline_base", "int8", 16),
     ("baseline_base", "fp", 32),
     ("baseline_base", "int8", 32),
+    ("baseline_large", "fp", 8),
+    ("baseline_large", "int8", 8),
     ("baseline_large", "fp", 16),
     ("baseline_large", "int8", 16),
     ("baseline_large", "fp", 24),
@@ -63,13 +68,13 @@ def run_leg(config: str, quant: str, streams: int, iters: int,
     from uvltrack_tpu.models.uvltrack import build_model, init_model
     from uvltrack_tpu.track.batch import BatchTracker
 
+    from bench import default_compile_cache  # the ONE cache-defaulting copy
+
     cfg = load_cfg(os.path.join(REPO, f"experiments/uvltrack/{config}.yaml"))
     cfg.TEST.MODE = "BBOX"
     if quant == "int8":
         cfg.TPU.WEIGHT_QUANT = "int8"
-    if (os.environ.get("UVLTRACK_BENCH_CACHE", "1") == "1"
-            and not cfg.TPU.COMPILE_CACHE):
-        cfg.TPU.COMPILE_CACHE = os.path.join(REPO, "output", "xla_cache")
+    default_compile_cache(cfg)
     model = build_model(cfg)
     variables = init_model(model, cfg, jax.random.PRNGKey(0))
     bt = BatchTracker(cfg, model, variables, num_streams=streams)

@@ -124,7 +124,8 @@ def test_hanging_extra_does_not_starve_the_rest():
             name, bench.DEFAULT_EXTRA_CAP_S)
         if name == "nlbbox_mode":  # hangs: burns its full cap, no JSON
             clock.t += timeout_s
-            raise RuntimeError("no JSON from extra subprocess (rc=timeout)")
+            raise bench.ExtraTimeoutError(
+                "no JSON from extra subprocess (rc=timeout)")
         clock.t += 50.0
         return {name: 1.0}
 
@@ -146,7 +147,8 @@ def test_dead_tunnel_probes_then_skips_cheaply():
 
     def runner(name, config, timeout_s):
         clock.t += timeout_s  # every child hangs to its cap
-        raise RuntimeError("no JSON from extra subprocess (rc=timeout)")
+        raise bench.ExtraTimeoutError(
+                "no JSON from extra subprocess (rc=timeout)")
 
     def prober():
         probes.append(clock.t)
@@ -174,7 +176,7 @@ def test_recovery_mid_blip_resumes_extras():
     def runner(name, config, timeout_s):
         if name == "uvltrack_l" and state["probes"] < 4:
             clock.t += min(timeout_s, 330.0)
-            raise RuntimeError("no JSON (rc=timeout)")
+            raise bench.ExtraTimeoutError("no JSON (rc=timeout)")
         clock.t += 40.0
         return {name: 2.0}
 
@@ -203,7 +205,8 @@ def test_cold_compile_timeout_escalates_retry_cap():
         calls.append((name, timeout_s))
         if name == "uvltrack_l" and timeout_s < 500.0:
             clock.t += timeout_s  # cold compile outlives the base cap
-            raise RuntimeError("no JSON from extra subprocess (rc=timeout)")
+            raise bench.ExtraTimeoutError(
+                "no JSON from extra subprocess (rc=timeout)")
         clock.t += 50.0
         return {name: 3.0}
 
@@ -232,3 +235,85 @@ def test_cold_compile_timeout_escalates_retry_cap():
         prober=lambda: True, sleep=lambda s: None, clock=clock)
     nl_calls = [t for n, t in calls if n == "nlbbox_mode"]
     assert len(nl_calls) == 2 and nl_calls[0] == nl_calls[1]
+
+
+def test_crash_mentioning_timeout_does_not_escalate():
+    """A child that CRASHES fast with 'socket.timeout' in its stderr tail
+    must not trigger the 3x cold-compile escalation — escalation keys on
+    the typed ExtraTimeoutError, not on message text."""
+    clock = _FakeClock()
+    calls = []
+
+    def runner(name, config, timeout_s):
+        calls.append((name, timeout_s))
+        if name == "nlbbox_mode" and len(
+                [c for c in calls if c[0] == name]) == 1:
+            clock.t += 5.0
+            raise RuntimeError("no JSON from extra subprocess (rc=1): "
+                               "socket.timeout: timed out")
+        clock.t += 10.0
+        return {name: 5.0}
+
+    bench.run_extras_phase(
+        "baseline_base", {}, budget=2400.0, runner=runner,
+        prober=lambda: True, sleep=lambda s: None, clock=clock)
+    nl = [t for n, t in calls if n == "nlbbox_mode"]
+    assert len(nl) == 2 and nl[0] == nl[1]  # same cap, no escalation
+
+
+def test_retry_bounded_by_pending_reserve():
+    """A retry (escalated or not) is bounded by remaining budget minus a
+    60s-per-pending-extra reserve, so one hung child's retry can never
+    starve the queue behind it."""
+    clock = _FakeClock()
+    calls = []
+
+    def runner(name, config, timeout_s):
+        calls.append((name, timeout_s))
+        if name == "nlbbox_mode":  # first extra hangs on BOTH attempts
+            clock.t += timeout_s
+            raise bench.ExtraTimeoutError(
+                "no JSON from extra subprocess (rc=timeout)")
+        clock.t += 50.0
+        return {name: 6.0}
+
+    # budget 800: attempt 1 burns its 330 cap; the retry must be bounded
+    # by remaining (470) minus 5 pending x 60s (300) = 170, NOT run at the
+    # full base cap (which would leave 140s for 5 extras)
+    extra = bench.run_extras_phase(
+        "baseline_base", {}, budget=800.0, runner=runner,
+        prober=lambda: True, sleep=lambda s: None, clock=clock)
+    nl = [t for n, t in calls if n == "nlbbox_mode"]
+    assert len(nl) == 2
+    assert nl[1] <= 800.0 - nl[0] - 60.0 * (len(bench.EXTRA_ORDER) - 1)
+    # every pending extra still landed inside the reserve it was promised
+    for name in bench.EXTRA_ORDER:
+        if name != "nlbbox_mode":
+            assert extra[name] == 6.0
+
+
+def test_hopeless_retry_window_is_skipped():
+    """When remaining-minus-reserve leaves under 60s, the retry is skipped
+    outright instead of burning the pending extras' reserve."""
+    clock = _FakeClock()
+    calls = []
+
+    def runner(name, config, timeout_s):
+        calls.append((name, timeout_s))
+        if name == "nlbbox_mode":
+            clock.t += timeout_s
+            raise bench.ExtraTimeoutError(
+                "no JSON from extra subprocess (rc=timeout)")
+        clock.t += 40.0
+        return {name: 7.0}
+
+    # budget 680: after the 330s first attempt, remaining=350 and the
+    # 5-pending reserve is 300 -> 50s window < 60s floor -> skip retry
+    extra = bench.run_extras_phase(
+        "baseline_base", {}, budget=680.0, runner=runner,
+        prober=lambda: True, sleep=lambda s: None, clock=clock)
+    nl = [t for n, t in calls if n == "nlbbox_mode"]
+    assert len(nl) == 1  # no second attempt
+    for name in bench.EXTRA_ORDER:
+        if name != "nlbbox_mode":
+            assert extra[name] == 7.0

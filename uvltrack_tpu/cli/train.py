@@ -51,6 +51,14 @@ def main(argv=None):
     if args.multihost:
         kw = {}
         if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            missing = [k for k in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+                       if not os.environ.get(k)]
+            if missing:
+                raise SystemExit(
+                    "--multihost with JAX_COORDINATOR_ADDRESS also needs "
+                    + " and ".join(missing)
+                    + " (all three, or none on a TPU pod where "
+                    "jax.distributed auto-detects)")
             kw = dict(
                 coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

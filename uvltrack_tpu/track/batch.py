@@ -446,13 +446,24 @@ class BatchTracker:
         """XLA cost analysis of the compiled (T, S)-lockstep chunk program
         for a frame block shaped like `frames_t` — {"flops", "bytes"}.
         XLA counts the lax.scan BODY once regardless of the T trip count,
-        so divide by S (not T*S) for per-frame figures. Call after
-        initialize(); used by bench.py for the batched MFU line."""
+        so divide by S_pad (not T*S; pad streams compute too) for
+        per-frame figures — returned here as "streams" so callers don't
+        reach for the caller-visible S. Frames get the same mesh sharding
+        as step_many_async so this lowers the EXACT program that method
+        runs (a mismatched input sharding would cost+compile a different
+        one). Call after initialize(); used by bench.py's batched MFU."""
         from ..utils.costs import compiled_cost
 
         frames_t = self._pad_frames(jnp.asarray(frames_t), axis=1)
+        if self.mesh is not None:
+            frames_t = jax.device_put(
+                frames_t, jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec(
+                        None, "data", None, None, None)))
         hw = (int(frames_t.shape[2]), int(frames_t.shape[3]))
-        return compiled_cost(
+        out = compiled_cost(
             self._many_fn(hw), self.variables, self.state, frames_t,
             self.template, self.template_mask, self.txt, self.text_mask,
             self.flags)
+        out["streams"] = self.S_pad
+        return out
