@@ -235,3 +235,5 @@ def test_step_many_cost_reports_compiled_flops(bt):
     block = np.stack([np.stack(frames)] * 2)  # (T=2, S=4, H, W, 3)
     cost = bt.step_many_cost(block)
     assert cost["flops"] > 0 and cost["bytes"] > 0
+    # per-frame division uses the DEVICE stream count (S_pad under a mesh)
+    assert cost["streams"] == bt.S_pad
