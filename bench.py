@@ -637,8 +637,18 @@ def run_extras_phase(config: str, extra: dict, budget: float,
     def remaining():
         return budget - (clock() - t0)
 
+    # cold-compile escalation is a HYPOTHESIS: a healthy-probe timeout is
+    # assumed to be a long compile worth 3x the cap. If an escalated retry
+    # ALSO times out, the hypothesis is falsified for the whole phase — a
+    # real compile would have finished in 3x, so this is the mid-run
+    # tunnel degradation (DEVNOTES: probe answers, ops stall) and further
+    # escalation would just burn the pending extras' budget (round-5
+    # bench5: a 795s escalated retry hung exactly like the 330s attempt).
+    escalation_spent = False
+
     for i, name in enumerate(order):
         cap = EXTRA_CAP_S.get(name, DEFAULT_EXTRA_CAP_S)
+        base_cap = cap
         for attempt in (1, 2):
             rem = remaining()
             if rem <= 60:
@@ -652,6 +662,11 @@ def run_extras_phase(config: str, extra: dict, budget: float,
                     f"{k}={v}" for k, v in result.items()))
                 if on_result is not None:
                     on_result(extra)
+                if cap > base_cap:
+                    # an escalated retry actually finished: the cold-cache
+                    # hypothesis held — re-arm escalation for later extras
+                    # (their caches may be cold too)
+                    escalation_spent = False
                 break
             except Exception as e:
                 timed_out = isinstance(e, ExtraTimeoutError)
@@ -675,8 +690,10 @@ def run_extras_phase(config: str, extra: dict, budget: float,
                 # same-cap rerun would refail, so it earns up to 3x cap
                 reserve = 60.0 * (len(order) - i - 1)
                 ceiling = remaining() - reserve
-                cap = min(cap * 3 if (timed_out and healthy) else cap,
-                          ceiling)
+                escalate = timed_out and healthy and not escalation_spent
+                if escalate:
+                    escalation_spent = True  # one shot until one pays off
+                cap = min(cap * 3 if escalate else cap, ceiling)
                 if cap < 60:
                     log(f"[{elapsed():.0f}s] skipping retry of {name}: "
                         f"{remaining():.0f}s left minus {reserve:.0f}s "

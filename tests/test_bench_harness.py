@@ -317,3 +317,56 @@ def test_hopeless_retry_window_is_skipped():
     for name in bench.EXTRA_ORDER:
         if name != "nlbbox_mode":
             assert extra[name] == 7.0
+
+
+def test_escalation_is_one_shot_until_it_pays_off():
+    """Mid-run tunnel degradation (DEVNOTES mode b): every child hangs to
+    its timeout while the probe answers. The FIRST healthy-probe timeout
+    earns the 3x cold-compile escalation; once that escalated retry ALSO
+    times out, the hypothesis is falsified and later extras retry at base
+    cap only — no repeated 990s burns into a stalled tunnel."""
+    clock = _FakeClock()
+    calls = []
+
+    def runner(name, config, timeout_s):
+        calls.append((name, timeout_s))
+        clock.t += timeout_s
+        raise bench.ExtraTimeoutError(
+            "no JSON from extra subprocess (rc=timeout)")
+
+    bench.run_extras_phase(
+        "baseline_base", {}, budget=6000.0, runner=runner,
+        prober=lambda: True, sleep=lambda s: None, clock=clock)
+    # exactly ONE escalated (>base-cap) retry across the whole phase
+    escalated = [
+        (n, t) for n, t in calls
+        if t > bench.EXTRA_CAP_S.get(n, bench.DEFAULT_EXTRA_CAP_S) + 1e-6]
+    assert len(escalated) == 1, calls
+
+
+def test_escalation_rearms_after_a_successful_escalated_retry():
+    """Cold-workspace mode: escalated retries SUCCEED (long compiles seed
+    the cache). Each success re-arms escalation for the next extra."""
+    clock = _FakeClock()
+    calls = []
+
+    def runner(name, config, timeout_s):
+        calls.append((name, timeout_s))
+        base = bench.EXTRA_CAP_S.get(name, bench.DEFAULT_EXTRA_CAP_S)
+        if timeout_s <= base:  # first attempt: cold compile outlives cap
+            clock.t += timeout_s
+            raise bench.ExtraTimeoutError(
+                "no JSON from extra subprocess (rc=timeout)")
+        clock.t += base + 30.0  # escalated retry finishes past base cap
+        return {name: 9.0}
+
+    extra = bench.run_extras_phase(
+        "baseline_base", {}, budget=9000.0, runner=runner,
+        prober=lambda: True, sleep=lambda s: None, clock=clock)
+    # every extra eventually landed via an escalated retry
+    for name in bench.EXTRA_ORDER:
+        assert extra[name] == 9.0
+    escalated = [
+        (n, t) for n, t in calls
+        if t > bench.EXTRA_CAP_S.get(n, bench.DEFAULT_EXTRA_CAP_S) + 1e-6]
+    assert len(escalated) == len(bench.EXTRA_ORDER), calls
